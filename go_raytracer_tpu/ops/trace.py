@@ -1,0 +1,235 @@
+"""Closest-hit resolution over all primitive tables + participating media.
+
+Replaces the reference's recursive BVH/HittableList closest-hit walk
+(hittable/bvh.go:69-82, hittable/hittable.go:122-138): each primitive class
+is intersected densely in GEMM form (ops/intersect.py), distances are
+min-reduced, and hit attributes (point, face normal, uv, material) are then
+gathered and recomputed for the single winning primitive per ray — O(N)
+work after the O(N*P) MXU pass.
+
+Participating media (hittable/medium.go:27-58) sample a scattering distance
+inside the boundary span. Equivalence note: the reference samples media
+*during* traversal against a shrinking rayT; sampling each medium's
+candidate independently over its span clamped by the closest solid hit and
+min-reducing is distributionally identical (truncating an exponential beyond
+the current-best t equals rejecting candidates beyond it).
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax.numpy as jnp
+
+from go_raytracer_tpu.core import vecmath as vm
+from go_raytracer_tpu.ops import intersect as ix
+from go_raytracer_tpu.scene import types as T
+
+T_MIN = 1.0e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
+INF = jnp.inf
+
+# hit class codes
+CLS_NONE = -1
+CLS_SPHERE = 0
+CLS_QUAD = 1
+CLS_TRI = 2
+CLS_MEDIUM = 3
+
+
+@struct.dataclass
+class Hit:
+    hit: jnp.ndarray         # (N,) bool — anything (surface or medium) hit
+    is_medium: jnp.ndarray   # (N,) bool
+    t: jnp.ndarray           # (N,)
+    p: jnp.ndarray           # (N, 3)
+    normal: jnp.ndarray      # (N, 3) face-forward normal (hittable.go:27-34)
+    front_face: jnp.ndarray  # (N,) bool
+    u: jnp.ndarray           # (N,)
+    v: jnp.ndarray           # (N,)
+    mat_id: jnp.ndarray      # (N,) int32
+
+
+def _sphere_attrs(sp: T.Spheres, o, d, time, t, idx):
+    c0 = sp.center0[idx]
+    cd = sp.center_delta[idx]
+    r = sp.radius[idx]
+    cur_c = c0 + time[:, None] * cd
+    p = o + t[:, None] * d
+    outward = (p - cur_c) / r[:, None]
+    front = vm.dot(d, outward) < 0
+    normal = jnp.where(front[:, None], outward, -outward)
+    # spherical uv (objects.go:44-50)
+    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
+    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + jnp.pi
+    return p, normal, front, phi / (2.0 * jnp.pi), theta / jnp.pi, sp.mat_id[idx]
+
+
+def _quad_attrs(qd: T.Quads, o, d, t, idx):
+    n = qd.normal[idx]
+    q = qd.q[idx]
+    p = o + t[:, None] * d
+    planar = p - q
+    alpha = vm.dot(planar, qd.cvw[idx])
+    beta = vm.dot(planar, qd.cwu[idx])
+    front = vm.dot(d, n) < 0
+    normal = jnp.where(front[:, None], n, -n)
+    return p, normal, front, alpha, beta, qd.mat_id[idx]
+
+
+def _tri_attrs(tr: T.Triangles, o, d, t, idx):
+    # Recompute barycentrics per winning triangle with the well-conditioned
+    # local form (objects.go:408-446); the GEMM pass only resolved t.
+    v0, e0, e1 = tr.v0[idx], tr.e0[idx], tr.e1[idx]
+    pvec = vm.cross(d, e1)
+    det = vm.dot(e0, pvec)
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    tvec = o - v0
+    u = vm.dot(tvec, pvec) * inv
+    qvec = vm.cross(tvec, e0)
+    v = vm.dot(d, qvec) * inv
+
+    p = o + t[:, None] * d
+    w = 1.0 - u - v
+    vn = tr.vn[idx]  # (N, 3, 3)
+    n_interp = vm.normalize(
+        w[:, None] * vn[:, 0] + u[:, None] * vn[:, 1] + v[:, None] * vn[:, 2]
+    )
+    n_raw = jnp.where(tr.has_vn[idx][:, None], n_interp, tr.n_face[idx])
+    front = vm.dot(d, n_raw) < 0
+    normal = jnp.where(front[:, None], n_raw, -n_raw)
+    uvt = tr.uv[idx]  # (N, 3, 2)
+    uv_interp = w[:, None] * uvt[:, 0] + u[:, None] * uvt[:, 1] + v[:, None] * uvt[:, 2]
+    tex_u = jnp.where(tr.has_uv[idx], uv_interp[:, 0], u)   # objects.go:437-446
+    tex_v = jnp.where(tr.has_uv[idx], uv_interp[:, 1], v)
+    return p, normal, front, tex_u, tex_v, tr.mat_id[idx]
+
+
+def media_candidates(scene: T.Scene, o, d, t_solid, u_med, t_min=T_MIN):
+    """Per-medium scattering-candidate distances (N, M); +inf = no event.
+
+    Mirrors medium.go:27-58: boundary span (analytic), clamp by
+    [rayT.Min, closest-solid], exponential free flight
+    hitDistance = -1/rho * ln(U).
+    """
+    med = scene.media
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+
+    near_s, far_s, ok_s = ix.sphere_roots(
+        med.center[None, :, :], med.radius[None, :], o_b, d_b)
+
+    # world -> object for the rotated/translated box boundary
+    # (transformation.go:25-34 offset, 79-85 rotation into object space)
+    cos = med.cos_t[None, :]
+    sin = med.sin_t[None, :]
+    osh = o_b - med.offset[None, :, :]
+    o_obj = jnp.stack([cos * osh[..., 0] - sin * osh[..., 2],
+                       osh[..., 1],
+                       sin * osh[..., 0] + cos * osh[..., 2]], axis=-1)
+    d_obj = jnp.stack([cos * d_b[..., 0] - sin * d_b[..., 2],
+                       d_b[..., 1],
+                       sin * d_b[..., 0] + cos * d_b[..., 2]], axis=-1)
+    near_b, far_b, ok_b = ix.box_slab_span(
+        med.box_min[None, :, :], med.box_max[None, :, :], o_obj, d_obj)
+
+    is_sphere = (med.kind == T.MEDIUM_SPHERE)[None, :]
+    near = jnp.where(is_sphere, near_s, near_b)
+    far = jnp.where(is_sphere, far_s, far_b)
+    ok = jnp.where(is_sphere, ok_s, ok_b)
+
+    ok = ok & (far > near + 1e-4)           # second boundary hit (medium.go:34)
+    t0 = jnp.maximum(near, t_min)           # medium.go:37
+    t1 = jnp.minimum(far, t_solid[:, None])  # medium.go:38
+    ok = ok & (t0 < t1)                     # medium.go:39
+    t0 = jnp.maximum(t0, 0.0)               # medium.go:43
+
+    ray_len = vm.length(d)[:, None]
+    dist_inside = (t1 - t0) * ray_len
+    hit_dist = med.neg_inv_density[None, :] * jnp.log(u_med)
+    ok = ok & (hit_dist <= dist_inside) & med.active[None, :]
+    t_cand = t0 + hit_dist / ray_len
+    return jnp.where(ok, t_cand, INF)
+
+
+def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
+          u_med: jnp.ndarray, t_min: float = T_MIN, t_max: float = INF) -> Hit:
+    """Closest hit for a ray bundle. u_med: (N, M) uniforms for media."""
+    n = o.shape[0]
+    tables = []
+    codes = []
+    if scene.has_spheres:
+        tables.append(ix.sphere_ts(scene.spheres, o, d, time, t_min, t_max))
+        codes.append((CLS_SPHERE, scene.spheres.count))
+    if scene.has_quads:
+        tables.append(ix.quad_ts(scene.quads, o, d, t_min, t_max))
+        codes.append((CLS_QUAD, scene.quads.count))
+    if scene.has_triangles:
+        tables.append(ix.tri_ts(scene.triangles, o, d, t_min, t_max))
+        codes.append((CLS_TRI, scene.triangles.count))
+
+    if tables:
+        all_ts = jnp.concatenate(tables, axis=1)
+        flat_idx = jnp.argmin(all_ts, axis=1)
+        t_solid = jnp.take_along_axis(all_ts, flat_idx[:, None], axis=1)[:, 0]
+        # decode (class, local index)
+        cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
+        loc = jnp.zeros((n,), dtype=jnp.int32)
+        off = 0
+        for code, cnt in codes:
+            in_range = (flat_idx >= off) & (flat_idx < off + cnt)
+            cls = jnp.where(in_range, code, cls)
+            loc = jnp.where(in_range, flat_idx - off, loc)
+            off += cnt
+    else:
+        t_solid = jnp.full((n,), INF, dtype=o.dtype)
+        cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
+        loc = jnp.zeros((n,), dtype=jnp.int32)
+
+    if scene.has_media:
+        med_ts = media_candidates(scene, o, d, t_solid, u_med, t_min)
+        med_idx = jnp.argmin(med_ts, axis=1)
+        t_med = jnp.take_along_axis(med_ts, med_idx[:, None], axis=1)[:, 0]
+        is_medium = t_med < t_solid
+        t = jnp.where(is_medium, t_med, t_solid)
+        cls = jnp.where(is_medium, CLS_MEDIUM, cls)
+    else:
+        med_idx = jnp.zeros((n,), dtype=jnp.int32)
+        is_medium = jnp.zeros((n,), dtype=bool)
+        t = t_solid
+
+    hit = jnp.isfinite(t) & (cls != CLS_NONE)
+    t_safe = jnp.where(hit, t, 1.0)
+
+    # attribute gather — compute per-class candidates on the (N,) winners
+    # and select; each branch is O(N) gathers + elementwise.
+    p = o + t_safe[:, None] * d
+    normal = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=o.dtype), p.shape)
+    front = jnp.ones((n,), dtype=bool)
+    uu = jnp.zeros((n,), dtype=o.dtype)
+    vv = jnp.zeros((n,), dtype=o.dtype)
+    mat = jnp.zeros((n,), dtype=jnp.int32)
+
+    def merge(mask, attrs, cur):
+        pp, nn, ff, u2, v2, mm = attrs
+        p_, n_, f_, u_, v_, m_ = cur
+        mask_c = mask[:, None]
+        return (jnp.where(mask_c, pp, p_), jnp.where(mask_c, nn, n_),
+                jnp.where(mask, ff, f_), jnp.where(mask, u2, u_),
+                jnp.where(mask, v2, v_), jnp.where(mask, mm, m_))
+
+    cur = (p, normal, front, uu, vv, mat)
+    if scene.has_spheres:
+        cur = merge(cls == CLS_SPHERE,
+                    _sphere_attrs(scene.spheres, o, d, time, t_safe, loc), cur)
+    if scene.has_quads:
+        cur = merge(cls == CLS_QUAD, _quad_attrs(scene.quads, o, d, t_safe, loc), cur)
+    if scene.has_triangles:
+        cur = merge(cls == CLS_TRI, _tri_attrs(scene.triangles, o, d, t_safe, loc), cur)
+    if scene.has_media:
+        # medium record: normal (1,0,0), frontFace=true (medium.go:54-55)
+        med_mat = scene.media.mat_id[med_idx]
+        cur = merge(cls == CLS_MEDIUM,
+                    (p, normal, jnp.ones((n,), bool), uu, vv, med_mat), cur)
+    p, normal, front, uu, vv, mat = cur
+
+    return Hit(hit=hit, is_medium=is_medium & hit, t=t, p=p, normal=normal,
+               front_face=front, u=uu, v=vv, mat_id=mat)

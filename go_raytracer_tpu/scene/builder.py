@@ -1,0 +1,404 @@
+"""Host-side scene compiler: Python scene description -> flat device tables.
+
+Replaces the reference's runtime Hittable tree (HittableList / BVHNode /
+translate / rotateY wrappers) with a build-time compiler:
+
+* boxes are expanded into six quads (hittable/objects.go:208-240),
+* translate/rotate-Y wrappers are baked into primitive coordinates
+  (hittable/transformation.go:13-110 becomes `Transform.point/vector`),
+* materials/textures become integer-indexed tables,
+* the lights list (hittable/hittable.go:89-103) becomes (kind, prim_id) rows.
+
+The output `Scene` pytree is everything the device kernels need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from go_raytracer_tpu.scene import perlin as perlin_mod
+from go_raytracer_tpu.scene import types as T
+
+
+Vec = Tuple[float, float, float]
+
+
+@dataclasses.dataclass
+class Transform:
+    """Rotate-Y-then-translate, matching the reference nesting
+    Translate(RotateY(obj, deg), offset). Compose by wrapping `then`."""
+
+    rotate_y_deg: float = 0.0
+    translate: Vec = (0.0, 0.0, 0.0)
+
+    def vector(self, v) -> np.ndarray:
+        v = np.asarray(v, dtype=np.float64)
+        th = math.radians(self.rotate_y_deg)
+        c, s = math.cos(th), math.sin(th)
+        # object -> world rotation (transformation.go:87-93)
+        return np.array([c * v[0] + s * v[2], v[1], -s * v[0] + c * v[2]])
+
+    def point(self, p) -> np.ndarray:
+        return self.vector(p) + np.asarray(self.translate, dtype=np.float64)
+
+    def then(self, outer: "Transform") -> "Transform":
+        """Apply self first, then `outer`. Only valid compositions used by
+        the scenes (rotate-then-translate chains) are representable; general
+        compositions with two rotations raise."""
+        if self.rotate_y_deg != 0.0 and outer.rotate_y_deg != 0.0:
+            raise ValueError("compose of two rotations not supported; bake manually")
+        rot = self.rotate_y_deg + outer.rotate_y_deg
+        off = outer.point(np.asarray(self.translate))
+        return Transform(rot, tuple(off - 0.0))
+
+
+IDENTITY = Transform()
+
+
+class SceneBuilder:
+    def __init__(self, background: Vec = (0.0, 0.0, 0.0)):
+        self.background = tuple(float(x) for x in background)
+        # textures
+        self._tex = []       # dict rows
+        self._perlin = []    # (randvec, perm)
+        self._images = []    # np arrays (H, W, 3) float32
+        # materials
+        self._mat = []
+        # primitives
+        self._spheres = []
+        self._quads = []
+        self._tris = []
+        self._media = []
+        self._lights = []
+        self._perlin_rng = np.random.default_rng(1234)
+
+    # ------------------------------------------------------------------ tex
+    def _add_tex(self, **row) -> int:
+        base = dict(kind=T.TEX_SOLID, color=(0, 0, 0), inv_scale=0.0,
+                    even=(0, 0, 0), odd=(0, 0, 0), scale=0.0,
+                    noise_id=0, image_id=0)
+        base.update(row)
+        self._tex.append(base)
+        return len(self._tex) - 1
+
+    def solid(self, color: Vec) -> int:
+        """texture.go:14-27"""
+        return self._add_tex(kind=T.TEX_SOLID, color=tuple(color))
+
+    def checker(self, scale: float, even: Vec, odd: Vec) -> int:
+        """texture.go:29-60 (color-only variant, the only one the scenes use)"""
+        return self._add_tex(kind=T.TEX_CHECKER, inv_scale=1.0 / scale,
+                             even=tuple(even), odd=tuple(odd))
+
+    def image_texture(self, image: np.ndarray) -> int:
+        """texture.go:62-86; `image` is (H, W, 3) float in [0, 1]."""
+        self._images.append(np.asarray(image, dtype=np.float32))
+        return self._add_tex(kind=T.TEX_IMAGE, image_id=len(self._images) - 1)
+
+    def noise_texture(self, scale: float, variant: str = "perlin",
+                      seed: Optional[int] = None) -> int:
+        """texture.go:88-125; each texture owns fresh Perlin tables
+        (texture.go:104-109 -> perlin.go:20-31)."""
+        rng = np.random.default_rng(seed) if seed is not None else self._perlin_rng
+        self._perlin.append(perlin_mod.make_tables(rng))
+        kind = {"perlin": T.TEX_PERLIN, "marble": T.TEX_MARBLE,
+                "turbulent": T.TEX_TURBULENT}[variant]
+        return self._add_tex(kind=kind, scale=float(scale),
+                             noise_id=len(self._perlin) - 1)
+
+    # ------------------------------------------------------------------ mat
+    def _add_mat(self, kind: int, tex_id: int, fuzz=0.0, ref_idx=1.0) -> int:
+        self._mat.append(dict(kind=kind, tex_id=tex_id, fuzz=float(fuzz),
+                              ref_idx=float(ref_idx)))
+        return len(self._mat) - 1
+
+    def lambertian(self, albedo: Optional[Vec] = None, tex: Optional[int] = None) -> int:
+        """materials.go:30-57"""
+        tex_id = tex if tex is not None else self.solid(albedo)
+        return self._add_mat(T.MAT_LAMBERTIAN, tex_id)
+
+    def metal(self, albedo: Vec, fuzz: float) -> int:
+        """materials.go:60-82"""
+        return self._add_mat(T.MAT_METAL, self.solid(albedo), fuzz=fuzz)
+
+    def dielectric(self, ref_idx: float) -> int:
+        """materials.go:85-130"""
+        return self._add_mat(T.MAT_DIELECTRIC, self.solid((1, 1, 1)), ref_idx=ref_idx)
+
+    def diffuse_light(self, color: Optional[Vec] = None, tex: Optional[int] = None) -> int:
+        """materials.go:132-155"""
+        tex_id = tex if tex is not None else self.solid(color)
+        return self._add_mat(T.MAT_DIFFUSE_LIGHT, tex_id)
+
+    def isotropic(self, albedo: Optional[Vec] = None, tex: Optional[int] = None) -> int:
+        """materials.go:157-177"""
+        tex_id = tex if tex is not None else self.solid(albedo)
+        return self._add_mat(T.MAT_ISOTROPIC, tex_id)
+
+    # ----------------------------------------------------------- primitives
+    def sphere(self, center: Vec, radius: float, mat: int,
+               center2: Optional[Vec] = None,
+               transform: Transform = IDENTITY):
+        """objects.go:23-37; motion blur via center2 (NewMotionSphere)."""
+        c0 = transform.point(center)
+        c1 = transform.point(center2) if center2 is not None else c0
+        self._spheres.append(dict(center0=c0, center_delta=c1 - c0,
+                                  radius=float(radius), mat_id=mat))
+        return ("sphere", len(self._spheres) - 1)
+
+    def quad(self, q: Vec, u: Vec, v: Vec, mat: int,
+             transform: Transform = IDENTITY):
+        """objects.go:129-146"""
+        qq = transform.point(q)
+        uu = transform.vector(u)
+        vv = transform.vector(v)
+        self._quads.append(dict(q=qq, u=uu, v=vv, mat_id=mat))
+        return ("quad", len(self._quads) - 1)
+
+    def box(self, a: Vec, b: Vec, mat: int, transform: Transform = IDENTITY):
+        """objects.go:208-240: six quads; the reference wraps them in a BVH,
+        which flattens to the same six rows here."""
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        dx = np.array([hi[0] - lo[0], 0, 0])
+        dy = np.array([0, hi[1] - lo[1], 0])
+        dz = np.array([0, 0, hi[2] - lo[2]])
+        ids = []
+        # front, right, back, left, top, bottom (objects.go:227-237)
+        ids.append(self.quad((lo[0], lo[1], hi[2]), dx, dy, mat, transform))
+        ids.append(self.quad((hi[0], lo[1], hi[2]), -dz, dy, mat, transform))
+        ids.append(self.quad((hi[0], lo[1], lo[2]), -dx, dy, mat, transform))
+        ids.append(self.quad((lo[0], lo[1], lo[2]), dz, dy, mat, transform))
+        ids.append(self.quad((lo[0], hi[1], hi[2]), dx, -dz, mat, transform))
+        ids.append(self.quad((lo[0], lo[1], lo[2]), dx, dz, mat, transform))
+        return ids
+
+    def triangle(self, vertices: Sequence[Vec], mat: int,
+                 normals: Optional[Sequence[Vec]] = None,
+                 uvs: Optional[Sequence[Tuple[float, float]]] = None,
+                 transform: Transform = IDENTITY):
+        """objects.go:257-316 (all four constructors)."""
+        vs = [transform.point(v) for v in vertices]
+        ns = [transform.vector(n) for n in normals] if normals is not None else None
+        self._tris.append(dict(v=vs, vn=ns, uv=uvs, mat_id=mat))
+        return ("triangle", len(self._tris) - 1)
+
+    def triangles_soa(self, vertices: np.ndarray, mat_ids: np.ndarray,
+                      normals: Optional[np.ndarray] = None,
+                      has_vn: Optional[np.ndarray] = None,
+                      uvs: Optional[np.ndarray] = None,
+                      has_uv: Optional[np.ndarray] = None,
+                      transform: Transform = IDENTITY):
+        """Bulk path for meshes: vertices (T,3,3), mat_ids (T,), optional
+        normals (T,3,3) + has_vn (T,), uvs (T,3,2) + has_uv (T,). Returns the
+        range of row handles."""
+        start = len(self._tris)
+        tcount = vertices.shape[0]
+        for i in range(tcount):
+            ns = None
+            if normals is not None and (has_vn is None or has_vn[i]):
+                ns = list(normals[i])
+            uv = None
+            if uvs is not None and (has_uv is None or has_uv[i]):
+                uv = [tuple(x) for x in uvs[i]]
+            self.triangle(list(vertices[i]), int(mat_ids[i]), normals=ns,
+                          uvs=uv, transform=transform)
+        return [("triangle", start + i) for i in range(tcount)]
+
+    def constant_medium_sphere(self, center: Vec, radius: float, density: float,
+                               albedo: Optional[Vec] = None, tex: Optional[int] = None,
+                               transform: Transform = IDENTITY):
+        """medium.go:13-25 with a sphere boundary (book2 water/fog orbs)."""
+        mat = self.isotropic(albedo=albedo, tex=tex)
+        self._media.append(dict(kind=T.MEDIUM_SPHERE,
+                                center=transform.point(center),
+                                radius=float(radius), cos_t=1.0, sin_t=0.0,
+                                offset=(0, 0, 0), box_min=(0, 0, 0),
+                                box_max=(0, 0, 0),
+                                neg_inv_density=-1.0 / density, mat_id=mat))
+        return ("medium", len(self._media) - 1)
+
+    def constant_medium_box(self, a: Vec, b: Vec, density: float,
+                            albedo: Optional[Vec] = None, tex: Optional[int] = None,
+                            rotate_y_deg: float = 0.0, translate: Vec = (0, 0, 0)):
+        """medium.go:13-25 with a rotated/translated box boundary
+        (cornellSmoke's smoke boxes, main.go:343-353)."""
+        mat = self.isotropic(albedo=albedo, tex=tex)
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        th = math.radians(rotate_y_deg)
+        self._media.append(dict(kind=T.MEDIUM_BOX, center=(0, 0, 0), radius=0.0,
+                                cos_t=math.cos(th), sin_t=math.sin(th),
+                                offset=tuple(float(x) for x in translate),
+                                box_min=tuple(np.minimum(a, b)),
+                                box_max=tuple(np.maximum(a, b)),
+                                neg_inv_density=-1.0 / density, mat_id=mat))
+        return ("medium", len(self._media) - 1)
+
+    # ---------------------------------------------------------------- light
+    def add_light(self, handle):
+        """Register a primitive in the importance-sampling list (the
+        `lights` argument of Camera.Render, camera/camera.go:156)."""
+        kind, idx = handle
+        kmap = {"quad": T.LIGHT_QUAD, "sphere": T.LIGHT_SPHERE,
+                "triangle": T.LIGHT_TRIANGLE}
+        self._lights.append((kmap[kind], idx))
+
+    # ---------------------------------------------------------------- build
+    def build(self, dtype=jnp.float32) -> T.Scene:
+        f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
+        i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
+
+        # --- spheres
+        sp = self._spheres or [dict(center0=np.zeros(3), center_delta=np.zeros(3),
+                                    radius=1.0, mat_id=0)]
+        n_sp = len(self._spheres)
+        spheres = T.Spheres(
+            center0=f([r["center0"] for r in sp]),
+            center_delta=f([r["center_delta"] for r in sp]),
+            radius=f([r["radius"] for r in sp]),
+            mat_id=i32([r["mat_id"] for r in sp]),
+            active=jnp.arange(len(sp)) < n_sp,
+        )
+
+        # --- quads: precompute normal, D, w, cvw, cwu, area (objects.go:129-140)
+        qd = self._quads or [dict(q=np.zeros(3), u=np.array([1.0, 0, 0]),
+                                  v=np.array([0, 1.0, 0]), mat_id=0)]
+        n_qd = len(self._quads)
+        qs, us, vs = (np.array([r[k] for r in qd], dtype=np.float64) for k in ("q", "u", "v"))
+        ns = np.cross(us, vs)
+        areas = np.linalg.norm(ns, axis=-1)
+        normals = ns / areas[:, None]
+        ws = ns / (ns * ns).sum(-1, keepdims=True)
+        quads = T.Quads(
+            q=f(qs), u=f(us), v=f(vs), normal=f(normals),
+            d_plane=f((normals * qs).sum(-1)),
+            cvw=f(np.cross(vs, ws)), cwu=f(np.cross(ws, us)),
+            area=f(areas),
+            mat_id=i32([r["mat_id"] for r in qd]),
+            active=jnp.arange(len(qd)) < n_qd,
+        )
+
+        # --- triangles: GEMM precomputes (see types.Triangles docstring)
+        td = self._tris or [dict(v=[np.array([0.0, 0, 0]), np.array([1.0, 0, 0]),
+                                    np.array([0, 1.0, 0])], vn=None, uv=None, mat_id=0)]
+        n_td = len(self._tris)
+        v0 = np.array([r["v"][0] for r in td], dtype=np.float64)
+        v1 = np.array([r["v"][1] for r in td], dtype=np.float64)
+        v2 = np.array([r["v"][2] for r in td], dtype=np.float64)
+        e0, e1 = v1 - v0, v2 - v0
+        cn = np.cross(e0, e1)
+        cn_len = np.linalg.norm(cn, axis=-1)
+        cn_len_safe = np.where(cn_len > 0, cn_len, 1.0)
+        n_face = cn / cn_len_safe[:, None]
+        vn = np.stack([
+            np.array([r["vn"][k] if r["vn"] is not None else n_face[i]
+                      for i, r in enumerate(td)], dtype=np.float64)
+            for k in range(3)
+        ], axis=1)
+        uv = np.stack([
+            np.array([r["uv"][k] if r["uv"] is not None else (0.0, 0.0)
+                      for r in td], dtype=np.float64)
+            for k in range(3)
+        ], axis=1)
+        triangles = T.Triangles(
+            v0=f(v0), e0=f(e0), e1=f(e1), cn=f(cn),
+            c_e1v0=f(np.cross(e1, v0)), c_v0e0=f(np.cross(v0, e0)),
+            k=f((v0 * cn).sum(-1)), n_face=f(n_face),
+            vn=f(vn), has_vn=jnp.asarray([r["vn"] is not None for r in td]),
+            uv=f(uv), has_uv=jnp.asarray([r["uv"] is not None for r in td]),
+            area=f(cn_len / 2.0),
+            mat_id=i32([r["mat_id"] for r in td]),
+            active=jnp.arange(len(td)) < n_td,
+        )
+
+        # --- media
+        md = self._media or [dict(kind=T.MEDIUM_SPHERE, center=(0, 0, 0), radius=1.0,
+                                  cos_t=1.0, sin_t=0.0, offset=(0, 0, 0),
+                                  box_min=(0, 0, 0), box_max=(1, 1, 1),
+                                  neg_inv_density=-1.0, mat_id=0)]
+        n_md = len(self._media)
+        media = T.Media(
+            kind=i32([r["kind"] for r in md]),
+            center=f([r["center"] for r in md]),
+            radius=f([r["radius"] for r in md]),
+            cos_t=f([r["cos_t"] for r in md]),
+            sin_t=f([r["sin_t"] for r in md]),
+            offset=f([r["offset"] for r in md]),
+            box_min=f([r["box_min"] for r in md]),
+            box_max=f([r["box_max"] for r in md]),
+            neg_inv_density=f([r["neg_inv_density"] for r in md]),
+            mat_id=i32([r["mat_id"] for r in md]),
+            active=jnp.arange(len(md)) < n_md,
+        )
+
+        # --- materials / textures
+        mt = self._mat or [dict(kind=T.MAT_LAMBERTIAN, tex_id=0, fuzz=0.0, ref_idx=1.0)]
+        materials = T.Materials(
+            kind=i32([r["kind"] for r in mt]),
+            tex_id=i32([r["tex_id"] for r in mt]),
+            fuzz=f([r["fuzz"] for r in mt]),
+            ref_idx=f([r["ref_idx"] for r in mt]),
+        )
+        tx = self._tex or [dict(kind=T.TEX_SOLID, color=(0, 0, 0), inv_scale=0.0,
+                                even=(0, 0, 0), odd=(0, 0, 0), scale=0.0,
+                                noise_id=0, image_id=0)]
+        textures = T.Textures(
+            kind=i32([r["kind"] for r in tx]),
+            color=f([r["color"] for r in tx]),
+            inv_scale=f([r["inv_scale"] for r in tx]),
+            even=f([r["even"] for r in tx]),
+            odd=f([r["odd"] for r in tx]),
+            scale=f([r["scale"] for r in tx]),
+            noise_id=i32([r["noise_id"] for r in tx]),
+            image_id=i32([r["image_id"] for r in tx]),
+        )
+
+        # --- perlin tables
+        pl = self._perlin or [perlin_mod.make_tables(np.random.default_rng(0))]
+        perlin = T.Perlin(
+            randvec=f(np.stack([p[0] for p in pl])),
+            perm=i32(np.stack([p[1] for p in pl])),
+        )
+
+        # --- images, padded to the max extent
+        if self._images:
+            hm = max(im.shape[0] for im in self._images)
+            wm = max(im.shape[1] for im in self._images)
+            data = np.zeros((len(self._images), hm, wm, 3), dtype=np.float32)
+            wh = np.zeros((len(self._images), 2), dtype=np.int32)
+            for k, im in enumerate(self._images):
+                data[k, : im.shape[0], : im.shape[1]] = im
+                wh[k] = (im.shape[1], im.shape[0])
+        else:
+            data = np.zeros((1, 1, 1, 3), dtype=np.float32)
+            wh = np.ones((1, 2), dtype=np.int32)
+        images = T.Images(data=f(data), wh=i32(wh))
+
+        # --- lights
+        lt = self._lights or [(T.LIGHT_QUAD, 0)]
+        lights = T.Lights(
+            kind=i32([k for k, _ in lt]),
+            prim_id=i32([p for _, p in lt]),
+            n=len(self._lights),
+        )
+
+        return T.Scene(
+            spheres=spheres, quads=quads, triangles=triangles, media=media,
+            materials=materials, textures=textures, perlin=perlin,
+            images=images, lights=lights,
+            background=f(self.background),
+            has_spheres=n_sp > 0,
+            has_quads=n_qd > 0,
+            has_triangles=n_td > 0,
+            has_media=n_md > 0,
+            has_noise=any(r["kind"] in (T.TEX_PERLIN, T.TEX_MARBLE, T.TEX_TURBULENT)
+                          for r in tx),
+            has_image=any(r["kind"] == T.TEX_IMAGE for r in tx),
+        )
