@@ -1,0 +1,53 @@
+"""Benchmark driver: renders the Cornell box (the reference's headline
+workload, main.go:278-320: 600x600 @ depth 50) on the attached accelerator
+and prints ONE JSON line with throughput.
+
+Metric: rays/s = traced ray segments per second (alive wavefront lanes
+summed over bounces). Baseline (BASELINE.md north_star): 1e9 rays/s on
+v5p-8; vs_baseline is measured against that number regardless of the chip
+actually attached.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from go_raytracer_tpu.render import renderer
+    from go_raytracer_tpu.scenes import registry
+
+    scene, cam = registry.cornell_box()
+    cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
+    key = jax.random.key(0)
+
+    # warmup (compile)
+    warm_cam = registry.cornell_box()[1]
+    warm_cam.width = 64
+    warm_cam.samples_per_pixel = 1
+    renderer.render(scene, warm_cam, key=key, mode="while", verbose=False)
+
+    t0 = time.time()
+    _, stats = renderer.render(scene, cam, key=key, mode="while", verbose=False)
+    rays_per_s = stats["rays_per_s"]
+    print(json.dumps({
+        "metric": "rays_per_s",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / 1e9,
+        "detail": {
+            "scene": "cornellBox",
+            "width": cam.width,
+            "spp": cam.spp_effective,
+            "max_depth": cam.max_depth,
+            "elapsed_s": stats["elapsed_s"],
+            "paths_per_s": stats["paths_per_s"],
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Command-line renderer, flag-compatible with the reference binary
+(main.go:416-480): -S scene number, -o output file, -N thread count.
+
+-N has no direct analog (XLA owns device parallelism); it is accepted and
+logged for compatibility. Additional flags expose TPU-era controls:
+--mode scan|while, --batch ray-batch size, --seed, --profile (jax.profiler
+trace directory, standing in for the reference's -cpuprofile pprof hook,
+main.go:425-432).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native path tracer")
+    ap.add_argument("-S", "--scene", default="6",
+                    help="scene number 1-8 or name (default cornellBox)")
+    ap.add_argument("-o", "--out", default="image.ppm",
+                    help="output image (.ppm or .png)")
+    ap.add_argument("-N", "--threads", type=int, default=1,
+                    help="accepted for reference CLI parity; XLA manages parallelism")
+    ap.add_argument("--spp", type=int, default=None, help="override samples per pixel")
+    ap.add_argument("--width", type=int, default=None, help="override image width")
+    ap.add_argument("--max-depth", type=int, default=None, help="override max depth")
+    ap.add_argument("--mode", choices=["while", "scan"], default="while")
+    ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
+    ap.add_argument("--profile", default="", help="write a jax.profiler trace here")
+    ap.add_argument("--stats", action="store_true", help="print JSON stats")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from go_raytracer_tpu.render import renderer
+    from go_raytracer_tpu.scenes import registry
+
+    name, fn = registry.get_scene(args.scene)
+    if not args.quiet:
+        print(f"Beginning render of {name!r} . . .", file=sys.stderr)
+    t0 = time.perf_counter()
+    if fn is registry.model_example:
+        scene, cam = fn(obj_path=args.obj)
+    else:
+        scene, cam = fn()
+    if args.spp is not None:
+        cam.samples_per_pixel = args.spp
+    if args.width is not None:
+        cam.width = args.width
+    if args.max_depth is not None:
+        cam.max_depth = args.max_depth
+    build_s = time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    stats = renderer.render_to_file(
+        scene, cam, args.out, key=jax.random.key(args.seed),
+        mode=args.mode, ray_batch=args.batch, verbose=not args.quiet)
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    stats["scene"] = name
+    stats["scene_build_s"] = build_s
+    stats["out"] = args.out
+    if args.stats:
+        print(json.dumps(stats))
+    elif not args.quiet:
+        print(f"wrote {args.out}: {stats['paths']} paths, "
+              f"{stats['rays_per_s']:.3g} rays/s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import time as _time
+from functools import partial
 from typing import Optional
 
 import jax
@@ -42,7 +43,7 @@ def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = No
     nchunks = math.ceil(npix / chunk)
     npad = nchunks * chunk
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(acc, step_key, s_i, s_j, ids):
         k_rays, k_path = jax.random.split(step_key)
         o, d, t = camera_mod.generate_rays(arrays, w, ids, s_i, s_j, k_rays, dtype=dtype)

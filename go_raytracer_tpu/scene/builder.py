@@ -60,6 +60,21 @@ class Transform:
 IDENTITY = Transform()
 
 
+def _bulk_transform_vectors(tr: Transform, v: np.ndarray) -> np.ndarray:
+    """Vectorized Transform.vector for (n, 3) arrays."""
+    th = math.radians(tr.rotate_y_deg)
+    c, s = math.cos(th), math.sin(th)
+    out = np.empty_like(v)
+    out[:, 0] = c * v[:, 0] + s * v[:, 2]
+    out[:, 1] = v[:, 1]
+    out[:, 2] = -s * v[:, 0] + c * v[:, 2]
+    return out
+
+
+def _bulk_transform_points(tr: Transform, p: np.ndarray) -> np.ndarray:
+    return _bulk_transform_vectors(tr, p) + np.asarray(tr.translate, dtype=np.float64)
+
+
 class SceneBuilder:
     def __init__(self, background: Vec = (0.0, 0.0, 0.0)):
         self.background = tuple(float(x) for x in background)
@@ -72,7 +87,8 @@ class SceneBuilder:
         # primitives
         self._spheres = []
         self._quads = []
-        self._tris = []
+        self._tri_blocks = []  # bulk SoA blocks of triangles
+        self._tri_count = 0
         self._media = []
         self._lights = []
         self._perlin_rng = np.random.default_rng(1234)
@@ -184,31 +200,47 @@ class SceneBuilder:
                  uvs: Optional[Sequence[Tuple[float, float]]] = None,
                  transform: Transform = IDENTITY):
         """objects.go:257-316 (all four constructors)."""
-        vs = [transform.point(v) for v in vertices]
-        ns = [transform.vector(n) for n in normals] if normals is not None else None
-        self._tris.append(dict(v=vs, vn=ns, uv=uvs, mat_id=mat))
-        return ("triangle", len(self._tris) - 1)
+        v = np.asarray(vertices, dtype=np.float64)[None]
+        vn = (np.asarray(normals, dtype=np.float64)[None]
+              if normals is not None else None)
+        uv = np.asarray(uvs, dtype=np.float64)[None] if uvs is not None else None
+        handles = self.add_mesh(v, np.asarray([mat], dtype=np.int32),
+                                normals=vn,
+                                has_vn=None if normals is None else np.asarray([True]),
+                                uvs=uv,
+                                has_uv=None if uvs is None else np.asarray([True]),
+                                transform=transform)
+        return handles[0]
 
-    def triangles_soa(self, vertices: np.ndarray, mat_ids: np.ndarray,
-                      normals: Optional[np.ndarray] = None,
-                      has_vn: Optional[np.ndarray] = None,
-                      uvs: Optional[np.ndarray] = None,
-                      has_uv: Optional[np.ndarray] = None,
-                      transform: Transform = IDENTITY):
-        """Bulk path for meshes: vertices (T,3,3), mat_ids (T,), optional
-        normals (T,3,3) + has_vn (T,), uvs (T,3,2) + has_uv (T,). Returns the
-        range of row handles."""
-        start = len(self._tris)
+    def add_mesh(self, vertices: np.ndarray, mat_ids: np.ndarray,
+                 normals: Optional[np.ndarray] = None,
+                 has_vn: Optional[np.ndarray] = None,
+                 uvs: Optional[np.ndarray] = None,
+                 has_uv: Optional[np.ndarray] = None,
+                 transform: Transform = IDENTITY):
+        """Bulk triangle path for meshes: vertices (T,3,3), mat_ids (T,),
+        optional normals (T,3,3) + has_vn (T,), uvs (T,3,2) + has_uv (T,).
+        Returns light-registerable row handles."""
         tcount = vertices.shape[0]
-        for i in range(tcount):
-            ns = None
-            if normals is not None and (has_vn is None or has_vn[i]):
-                ns = list(normals[i])
-            uv = None
-            if uvs is not None and (has_uv is None or has_uv[i]):
-                uv = [tuple(x) for x in uvs[i]]
-            self.triangle(list(vertices[i]), int(mat_ids[i]), normals=ns,
-                          uvs=uv, transform=transform)
+        v = np.asarray(vertices, dtype=np.float64)
+        if transform is not IDENTITY:
+            v = _bulk_transform_points(transform, v.reshape(-1, 3)).reshape(tcount, 3, 3)
+        vn = None
+        if normals is not None:
+            vn = np.asarray(normals, dtype=np.float64)
+            if transform is not IDENTITY:
+                vn = _bulk_transform_vectors(transform, vn.reshape(-1, 3)).reshape(tcount, 3, 3)
+        self._tri_blocks.append(dict(
+            v=v, vn=vn,
+            has_vn=(np.asarray(has_vn, dtype=bool) if has_vn is not None
+                    else np.full(tcount, normals is not None)),
+            uv=np.asarray(uvs, dtype=np.float64) if uvs is not None else None,
+            has_uv=(np.asarray(has_uv, dtype=bool) if has_uv is not None
+                    else np.full(tcount, uvs is not None)),
+            mat_id=np.asarray(mat_ids, dtype=np.int32),
+        ))
+        start = self._tri_count
+        self._tri_count += tcount
         return [("triangle", start + i) for i in range(tcount)]
 
     def constant_medium_sphere(self, center: Vec, radius: float, density: float,
@@ -286,36 +318,42 @@ class SceneBuilder:
         )
 
         # --- triangles: GEMM precomputes (see types.Triangles docstring)
-        td = self._tris or [dict(v=[np.array([0.0, 0, 0]), np.array([1.0, 0, 0]),
-                                    np.array([0, 1.0, 0])], vn=None, uv=None, mat_id=0)]
-        n_td = len(self._tris)
-        v0 = np.array([r["v"][0] for r in td], dtype=np.float64)
-        v1 = np.array([r["v"][1] for r in td], dtype=np.float64)
-        v2 = np.array([r["v"][2] for r in td], dtype=np.float64)
+        n_td = self._tri_count
+        if self._tri_blocks:
+            v = np.concatenate([blk["v"] for blk in self._tri_blocks])
+            has_vn = np.concatenate([blk["has_vn"] for blk in self._tri_blocks])
+            has_uv = np.concatenate([blk["has_uv"] for blk in self._tri_blocks])
+            mat_id_tri = np.concatenate([blk["mat_id"] for blk in self._tri_blocks])
+            vn = np.concatenate([
+                blk["vn"] if blk["vn"] is not None
+                else np.zeros_like(blk["v"]) for blk in self._tri_blocks])
+            uv = np.concatenate([
+                blk["uv"] if blk["uv"] is not None
+                else np.zeros(blk["v"].shape[:2] + (2,)) for blk in self._tri_blocks])
+        else:
+            v = np.asarray([[[0.0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]]])
+            has_vn = np.zeros(1, dtype=bool)
+            has_uv = np.zeros(1, dtype=bool)
+            mat_id_tri = np.zeros(1, dtype=np.int32)
+            vn = np.zeros((1, 3, 3))
+            uv = np.zeros((1, 3, 2))
+        v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
         e0, e1 = v1 - v0, v2 - v0
         cn = np.cross(e0, e1)
         cn_len = np.linalg.norm(cn, axis=-1)
         cn_len_safe = np.where(cn_len > 0, cn_len, 1.0)
         n_face = cn / cn_len_safe[:, None]
-        vn = np.stack([
-            np.array([r["vn"][k] if r["vn"] is not None else n_face[i]
-                      for i, r in enumerate(td)], dtype=np.float64)
-            for k in range(3)
-        ], axis=1)
-        uv = np.stack([
-            np.array([r["uv"][k] if r["uv"] is not None else (0.0, 0.0)
-                      for r in td], dtype=np.float64)
-            for k in range(3)
-        ], axis=1)
+        # fall back to face normal where vertex normals absent
+        vn = np.where(has_vn[:, None, None], vn, n_face[:, None, :])
         triangles = T.Triangles(
             v0=f(v0), e0=f(e0), e1=f(e1), cn=f(cn),
             c_e1v0=f(np.cross(e1, v0)), c_v0e0=f(np.cross(v0, e0)),
             k=f((v0 * cn).sum(-1)), n_face=f(n_face),
-            vn=f(vn), has_vn=jnp.asarray([r["vn"] is not None for r in td]),
-            uv=f(uv), has_uv=jnp.asarray([r["uv"] is not None for r in td]),
+            vn=f(vn), has_vn=jnp.asarray(has_vn),
+            uv=f(uv), has_uv=jnp.asarray(has_uv),
             area=f(cn_len / 2.0),
-            mat_id=i32([r["mat_id"] for r in td]),
-            active=jnp.arange(len(td)) < n_td,
+            mat_id=i32(mat_id_tri),
+            active=jnp.arange(v.shape[0]) < n_td,
         )
 
         # --- media

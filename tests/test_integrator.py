@@ -1,0 +1,151 @@
+"""Integrator tests with analytically known expectations — much stronger
+than the reference's test suite, which leaves the integrator untested
+(SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go_raytracer_tpu.integrator import wavefront
+from go_raytracer_tpu.scene.builder import SceneBuilder
+
+
+def _radiance(scene, o, d, n_rays=1, max_depth=10, max_contrib=1.5,
+              key=0, mode="scan"):
+    o = jnp.broadcast_to(jnp.asarray(o, dtype=jnp.float32), (n_rays, 3))
+    d = jnp.broadcast_to(jnp.asarray(d, dtype=jnp.float32), (n_rays, 3))
+    t = jnp.zeros(n_rays, dtype=jnp.float32)
+    L, stats = wavefront.radiance(scene, o, d, t, jax.random.key(key),
+                                  max_depth, max_contrib, mode=mode)
+    return np.asarray(L)
+
+
+def test_miss_returns_background():
+    b = SceneBuilder(background=(0.2, 0.4, 0.8))
+    m = b.lambertian((1, 1, 1))
+    b.sphere((0, 0, -100), 1.0, m)
+    q = b.quad((50, 50, -50), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1)))
+    b.add_light(q)
+    s = b.build()
+    L = _radiance(s, (0, 0, 0), (0, 1, 0), n_rays=4)
+    np.testing.assert_allclose(L, [[0.2, 0.4, 0.8]] * 4, atol=1e-6)
+
+
+def test_direct_light_hit_front_and_back():
+    b = SceneBuilder(background=(0, 0, 0))
+    light = b.diffuse_light((3, 2, 1))
+    q = b.quad((-1, -1, -5), (2, 0, 0), (0, 2, 0), light)  # normal +z
+    b.add_light(q)
+    s = b.build()
+    # from +z side: front face -> emission
+    L_front = _radiance(s, (0, 0, 0), (0, 0, -1))
+    np.testing.assert_allclose(L_front[0], [3, 2, 1], atol=1e-5)
+    # from -z side: back face -> black (materials.go:150-155)
+    L_back = _radiance(s, (0, 0, -10), (0, 0, 1))
+    np.testing.assert_allclose(L_back[0], [0, 0, 0], atol=1e-6)
+
+
+def test_lambertian_under_emissive_sky():
+    """Ground plane (albedo a) under a practically-infinite emissive ceiling
+    with radiance e: reflected radiance is a*e — an unbiased-estimator check
+    through the full mixture-pdf machinery.
+
+    (A fully enclosing emissive *sphere* cannot be the importance-sampled
+    light: the reference's sphere PdfValue NaNs for origins inside the
+    sphere, objects.go:58 — a quirk we preserve and test separately.)"""
+    albedo = (0.73, 0.5, 0.25)
+    emit = (0.5, 0.5, 0.5)
+    big = 40000.0
+    b = SceneBuilder(background=(0, 0, 0))
+    b.quad((-500, 0, -500), (1000, 0, 0), (0, 0, 1000), b.lambertian(albedo))
+    # ceiling normal = u x v = (+x) x (+z) = -y: front face seen from below
+    sky = b.quad((-big / 2, 10, -big / 2), (big, 0, 0), (0, 0, big),
+                 b.diffuse_light(emit))
+    b.add_light(sky)
+    s = b.build()
+    L = _radiance(s, (0, 5, 0), (0.2, -1, 0.1), n_rays=4096, max_depth=5)
+    mean = L.mean(axis=0)
+    np.testing.assert_allclose(mean, np.asarray(albedo) * np.asarray(emit),
+                               rtol=0.05)
+
+
+def test_sphere_light_pdf_nan_from_inside_quirk():
+    """Reference quirk: PdfValue of a sphere light from inside it is NaN
+    (sqrt of a negative, objects.go:58); NaN samples blacken the pixel at
+    the film's NaN guard (color.go:28-36). Verify NaN propagates."""
+    b = SceneBuilder(background=(0, 0, 0))
+    b.quad((-50, 0, -50), (100, 0, 0), (0, 0, 100), b.lambertian((0.5, 0.5, 0.5)))
+    dome = b.sphere((0, 0, 0), 1000.0, b.diffuse_light((1, 1, 1)))
+    b.add_light(dome)
+    s = b.build()
+    L = _radiance(s, (0, 5, 0), (0.0, -1, 0.0), n_rays=64, max_depth=3)
+    assert np.isnan(L).any()
+
+
+def test_mirror_reflects_light_exactly():
+    b = SceneBuilder(background=(0, 0, 0))
+    mirror = b.metal((0.8, 0.9, 1.0), 0.0)
+    b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10), mirror)  # y=0 plane
+    light = b.diffuse_light((2, 2, 2))
+    q = b.quad((-5, 10, -5), (10, 0, 0), (0, 0, 10), light)  # ceiling, normal -y... u x v = +y
+    b.add_light(q)
+    s = b.build()
+    # ray straight down: reflects straight up into the ceiling light's
+    # underside. ceiling normal = ux v = (10,0,0)x(0,0,10) = (0,-100,0)*... -y
+    # so looking up from below hits its front face.
+    L = _radiance(s, (0, 3, 0), (0, -1, 0))
+    np.testing.assert_allclose(L[0], [1.6, 1.8, 2.0], atol=1e-4)
+
+
+def test_firefly_clamp_bounds_diffuse_radiance():
+    b = SceneBuilder(background=(0, 0, 0))
+    b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10), b.lambertian((0.9, 0.9, 0.9)))
+    q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2), b.diffuse_light((100, 100, 100)))
+    b.add_light(q)
+    s = b.build()
+    L = _radiance(s, (0, 2, 0), (0.3, -1, 0), n_rays=512, max_depth=3)
+    sums = L.sum(axis=-1)
+    assert np.nanmax(sums) <= 1.5 + 1e-4  # clampContribution (camera.go:334-341)
+
+
+def test_medium_transmittance():
+    """Black smoke ball against a bright background: transmitted fraction is
+    exp(-rho * path length) (medium.go:44-51)."""
+    rho = 0.25
+    b = SceneBuilder(background=(1.0, 1.0, 1.0))
+    b.constant_medium_sphere((0, 0, -10), 2.0, rho, albedo=(0, 0, 0))
+    # a dummy light far away (the integrator requires a light list)
+    ql = b.quad((1000, 1000, 0), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1)))
+    b.add_light(ql)
+    s = b.build()
+    L = _radiance(s, (0, 0, 0), (0, 0, -1), n_rays=8192, max_depth=4)
+    expect = np.exp(-rho * 4.0)  # chord length 4 through the sphere
+    assert L[:, 0].mean() == pytest.approx(expect, rel=0.05)
+
+
+def test_dielectric_straight_through():
+    """Axis ray through a glass sphere continues forward (normal incidence:
+    refraction is straight through both interfaces) unless Schlick reflects;
+    mean radiance approaches background seen through the sphere."""
+    b = SceneBuilder(background=(0.5, 0.5, 0.5))
+    b.sphere((0, 0, -5), 1.0, b.dielectric(1.5))
+    ql = b.quad((1000, 1000, 0), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1)))
+    b.add_light(ql)
+    s = b.build()
+    L = _radiance(s, (0, 0, 0), (0, 0, -1), n_rays=2048, max_depth=8)
+    # all paths end on the background (reflect or refract), attenuation 1
+    np.testing.assert_allclose(L.mean(axis=0), [0.5, 0.5, 0.5], rtol=0.02)
+
+
+def test_scan_and_while_modes_agree():
+    b = SceneBuilder(background=(0.1, 0.2, 0.3))
+    b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10), b.lambertian((0.6, 0.6, 0.6)))
+    q = b.quad((-1, 5, -1), (2, 0, 0), (0, 0, 2), b.diffuse_light((4, 4, 4)))
+    b.add_light(q)
+    s = b.build()
+    kwargs = dict(n_rays=256, max_depth=6, key=7)
+    L_scan = _radiance(s, (0, 2, 0), (0.3, -1, 0.2), mode="scan", **kwargs)
+    L_while = _radiance(s, (0, 2, 0), (0.3, -1, 0.2), mode="while", **kwargs)
+    np.testing.assert_allclose(L_scan, L_while, atol=1e-5)
