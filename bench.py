@@ -16,6 +16,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from go_raytracer_tpu.utils import cache
+    cache.enable_compilation_cache()
+
     from go_raytracer_tpu.render import renderer
     from go_raytracer_tpu.scenes import registry
 

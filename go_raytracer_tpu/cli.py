@@ -32,11 +32,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")
+    ap.add_argument("--checkpoint", default="",
+                    help="accumulator checkpoint path (.npz); resumes if present")
     ap.add_argument("--stats", action="store_true", help="print JSON stats")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
+
+    from go_raytracer_tpu.utils import cache
+    cache.enable_compilation_cache()
 
     from go_raytracer_tpu.render import renderer
     from go_raytracer_tpu.scenes import registry
@@ -61,7 +66,8 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile)
     stats = renderer.render_to_file(
         scene, cam, args.out, key=jax.random.key(args.seed),
-        mode=args.mode, ray_batch=args.batch, verbose=not args.quiet)
+        mode=args.mode, ray_batch=args.batch, verbose=not args.quiet,
+        checkpoint_path=args.checkpoint or None, scene_name=name)
     if args.profile:
         jax.profiler.stop_trace()
 

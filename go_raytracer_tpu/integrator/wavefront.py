@@ -43,7 +43,9 @@ def clamp_contribution(color: jnp.ndarray, max_value) -> jnp.ndarray:
     not exceed max_value. NaN intensities compare false and pass through
     unscaled, matching Go."""
     intensity = jnp.sum(color, axis=-1, keepdims=True)
-    scale = jnp.where(intensity > max_value, max_value / intensity, 1.0)
+    # safe-where: divide only in the taken branch so grads stay finite
+    intensity_safe = jnp.where(intensity > max_value, intensity, 1.0)
+    scale = jnp.where(intensity > max_value, max_value / intensity_safe, 1.0)
     return color * scale
 
 
@@ -109,7 +111,12 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
     mat_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf)
     pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf            # pdf.go:65-67
     scatter_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf)  # materials.go:51-57,161-163
-    w_diffuse = tex_val * (scatter_pdf / pdf_value)[:, None]
+    # NaN-parity note: pdf_value==0 lanes produce inf/NaN exactly like the
+    # reference's 1/pdfValue (camera.go:328); the safe ratio below is only
+    # for lanes that are masked out (non-diffuse), so grads don't poison.
+    ratio = jnp.where(diffuse, scatter_pdf, 0.0) / jnp.where(
+        diffuse, pdf_value, 1.0)
+    w_diffuse = tex_val * ratio[:, None]
 
     W = jnp.where(is_metal[:, None], tex_val, zero3)       # metal albedo
     W = jnp.where(is_diel[:, None], jnp.ones_like(tex_val), W)  # (1,1,1)

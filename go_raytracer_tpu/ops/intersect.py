@@ -60,7 +60,9 @@ def sphere_ts(sp: T.Spheres, o: jnp.ndarray, d: jnp.ndarray,
     c = (c0_sq + 2.0 * tcol * c0_cd + tcol * tcol * cd_sq) - 2.0 * o_c + o_sq - (r * r)[None, :]
 
     disc = h * h - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe-where: sqrt of the masked-out branch must stay differentiable
+    # (sqrt'(0)=inf would NaN the backward pass of jnp.where)
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     root1 = (h - sqrtd) / a
     root2 = (h + sqrtd) / a
     surrounds = lambda t: (t_min < t) & (t < t_max)  # interval.go:31-35 (open)

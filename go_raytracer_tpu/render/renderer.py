@@ -23,6 +23,7 @@ import numpy as np
 
 from go_raytracer_tpu.integrator import wavefront
 from go_raytracer_tpu.render import camera as camera_mod
+from go_raytracer_tpu.render import checkpoint as checkpoint_mod
 from go_raytracer_tpu.render import film
 from go_raytracer_tpu.scene import types as T
 from go_raytracer_tpu.utils import progress
@@ -30,43 +31,81 @@ from go_raytracer_tpu.utils import progress
 
 def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = None,
            mode: str = "while", ray_batch: int = 1 << 17, dtype=jnp.float32,
-           verbose: bool = False):
-    """Render the scene; returns (linear image (H, W, 3) float, stats dict)."""
+           verbose: bool = False, checkpoint_path: Optional[str] = None,
+           checkpoint_every: int = 8, scene_name: str = "",
+           strata_per_launch: int = 0):
+    """Render the scene; returns (linear image (H, W, 3) float, stats dict).
+
+    Launch structure: pixels are chunked to `ray_batch` to bound HBM, and
+    `strata_per_launch` stratified samples run inside one jit launch (a
+    device-side fori_loop) to amortize dispatch latency — important when
+    the accelerator sits behind a high-latency tunnel. 0 = all strata in
+    one launch per chunk.
+
+    With checkpoint_path set, the accumulator is checkpointed every
+    `checkpoint_every` launch groups, and a matching prior checkpoint
+    resumes the render (render/checkpoint.py)."""
     if key is None:
         key = jax.random.key(0)
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
     npix = h * w
     sqrt_spp = cam.spp_sqrt
+    total_strata = sqrt_spp * sqrt_spp
 
     chunk = min(ray_batch, npix)
     nchunks = math.ceil(npix / chunk)
     npad = nchunks * chunk
+    k_strata = strata_per_launch or total_strata
+    k_strata = min(k_strata, total_strata)
+    n_groups = math.ceil(total_strata / k_strata)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(acc, step_key, s_i, s_j, ids):
-        k_rays, k_path = jax.random.split(step_key)
-        o, d, t = camera_mod.generate_rays(arrays, w, ids, s_i, s_j, k_rays, dtype=dtype)
-        radiance, stats = wavefront.radiance(
-            scene, o, d, t, k_path, cam.max_depth, cam.max_contribution, mode=mode)
-        return acc.at[ids].add(radiance), stats["segments"]
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("n_local",))
+    def launch(acc, base_key, stratum0, ids, n_local):
+        def body(i, carry):
+            acc_c, segs = carry
+            stratum = stratum0 + i
+            s_i = (stratum // sqrt_spp).astype(dtype)
+            s_j = (stratum % sqrt_spp).astype(dtype)
+            k_rays, k_path = jax.random.split(jax.random.fold_in(base_key, i))
+            o, d, t = camera_mod.generate_rays(arrays, w, ids, s_i, s_j,
+                                               k_rays, dtype=dtype)
+            radiance, stats = wavefront.radiance(
+                scene, o, d, t, k_path, cam.max_depth, cam.max_contribution,
+                mode=mode)
+            return acc_c.at[ids].add(radiance), segs + stats["segments"]
 
-    acc = jnp.zeros((npad, 3), dtype=dtype)
+        return jax.lax.fori_loop(0, n_local, body, (acc, jnp.int64(0) if
+                                 jax.config.jax_enable_x64 else jnp.int32(0)))
+
+    start_group = 0
+    acc = None
+    meta = checkpoint_mod.meta_for(scene_name, cam)
+    if checkpoint_path:
+        loaded = checkpoint_mod.load(checkpoint_path)
+        if loaded is not None and checkpoint_mod.compatible(loaded[2], meta):
+            acc = jnp.asarray(loaded[0], dtype=dtype)
+            start_group = loaded[1]
+    if acc is None:
+        acc = jnp.zeros((npad, 3), dtype=dtype)
+
     ids_np = np.arange(npad, dtype=np.int32)
-    total_steps = sqrt_spp * sqrt_spp * nchunks
-    bar = progress.Bar(total_steps, enabled=verbose)
+    bar = progress.Bar((n_groups - start_group) * nchunks, enabled=verbose)
     segments = 0
     t0 = _time.perf_counter()
-    for s_i in range(sqrt_spp):
-        for s_j in range(sqrt_spp):
-            for c in range(nchunks):
-                step_key = jax.random.fold_in(key, (s_i * sqrt_spp + s_j) * nchunks + c)
-                ids = jnp.asarray(ids_np[c * chunk:(c + 1) * chunk])
-                acc, seg = step(acc, step_key,
-                                jnp.asarray(s_i, dtype=dtype),
-                                jnp.asarray(s_j, dtype=dtype), ids)
-                segments += int(seg)
-                bar.tick()
+    for group in range(start_group, n_groups):
+        stratum0 = group * k_strata
+        n_local = min(k_strata, total_strata - stratum0)
+        for c in range(nchunks):
+            base_key = jax.random.fold_in(key, group * nchunks + c)
+            ids = jnp.asarray(ids_np[c * chunk:(c + 1) * chunk])
+            acc, seg = launch(acc, base_key, jnp.asarray(stratum0, jnp.int32),
+                              ids, n_local=n_local)
+            segments += int(seg)
+            bar.tick()
+        if checkpoint_path and ((group + 1) % checkpoint_every == 0
+                                or group + 1 == n_groups):
+            checkpoint_mod.save(checkpoint_path, np.asarray(acc), group + 1, meta)
     acc.block_until_ready()
     elapsed = _time.perf_counter() - t0
     bar.close()

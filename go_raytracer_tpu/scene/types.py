@@ -214,6 +214,23 @@ class Lights:
 
 
 @struct.dataclass
+class TriBVH:
+    """Flattened skip-link BVH over the triangle table (scene/bvh.py).
+    Built host-side with the reference's median/longest-axis policy
+    (hittable/bvh.go:35-61); traversed stacklessly on device: box hit ->
+    next DFS node, miss -> skip link."""
+
+    node_min: jnp.ndarray  # (M, 3)
+    node_max: jnp.ndarray  # (M, 3)
+    first: jnp.ndarray     # (M,) int32
+    count: jnp.ndarray     # (M,) int32 (0 = inner node)
+    skip: jnp.ndarray      # (M,) int32
+    order: jnp.ndarray     # (Tp,) int32 triangle ids, -1 padding
+    n_nodes: int = struct.field(pytree_node=False, default=1)
+    leaf_size: int = struct.field(pytree_node=False, default=8)
+
+
+@struct.dataclass
 class Scene:
     """The complete compiled scene. The `has_*` fields are static (non-pytree)
     capability flags set by the builder so jit-compiled kernels can skip
@@ -229,7 +246,9 @@ class Scene:
     images: Images
     lights: Lights
     background: jnp.ndarray  # (3,)
+    tri_bvh: TriBVH = None
     has_spheres: bool = struct.field(pytree_node=False, default=True)
+    has_tri_bvh: bool = struct.field(pytree_node=False, default=False)
     has_quads: bool = struct.field(pytree_node=False, default=True)
     has_triangles: bool = struct.field(pytree_node=False, default=False)
     has_media: bool = struct.field(pytree_node=False, default=False)

@@ -51,11 +51,14 @@ def test_image_texture_lookup_and_vflip():
     b = SceneBuilder()
     img = np.zeros((2, 2, 3), dtype=np.float32)
     img[0, 0] = (1, 0, 0)  # top-left
-    img[1, 1] = (0, 0, 1)  # bottom-right
+    img[1, 0] = (0, 0, 1)  # bottom-left
     t = b.image_texture(img)
     s = b.build()
-    # u=0,v=1 -> vv=1-1=0 -> j=0 (top), i=0
-    out = _eval(s, t, [0.0, 0.999], [0.999, 0.0], [[0, 0, 0]] * 2)
+    # reference quirk preserved: i = int(u*(W-1)) never reaches the last
+    # column for u<1 (texture.go:80-81), so only column 0 is addressable
+    # on a 2-wide image. v=0.999 -> vv=0.001 -> top row; v=0 -> vv=1 ->
+    # bottom row (v is flipped, texture.go:78).
+    out = _eval(s, t, [0.0, 0.5], [0.999, 0.0], [[0, 0, 0]] * 2)
     np.testing.assert_allclose(out[0], [1, 0, 0], atol=1e-6)
     np.testing.assert_allclose(out[1], [0, 0, 1], atol=1e-6)
 
