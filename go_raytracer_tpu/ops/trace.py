@@ -18,6 +18,7 @@ the current-best t equals rejecting candidates beyond it).
 from __future__ import annotations
 
 import flax.struct as struct
+import jax
 import jax.numpy as jnp
 
 from go_raytracer_tpu.core import vecmath as vm
@@ -75,9 +76,10 @@ def _quad_attrs(qd: T.Quads, o, d, t, idx):
     return p, normal, front, alpha, beta, qd.mat_id[idx]
 
 
-def _tri_attrs(tr: T.Triangles, o, d, t, idx):
-    # Recompute barycentrics per winning triangle with the well-conditioned
-    # local form (objects.go:408-446); the GEMM pass only resolved t.
+def tri_hit_gathered(tr: T.Triangles, idx, o, d, t_min, t_max):
+    """Local-form Moller-Trumbore for per-ray gathered triangles idx (N,)
+    (objects.go:408-461): returns (t, u, v, ok). Well-conditioned (works on
+    ray-local differences) — used for BVH leaves and attribute recompute."""
     v0, e0, e1 = tr.v0[idx], tr.e0[idx], tr.e1[idx]
     pvec = vm.cross(d, e1)
     det = vm.dot(e0, pvec)
@@ -86,6 +88,72 @@ def _tri_attrs(tr: T.Triangles, o, d, t, idx):
     u = vm.dot(tvec, pvec) * inv
     qvec = vm.cross(tvec, e0)
     v = vm.dot(d, qvec) * inv
+    t = vm.dot(e1, qvec) * inv
+    ok = ((jnp.abs(det) >= ix.PARALLEL_EPS)
+          & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t_min <= t) & (t <= t_max) & tr.active[idx])
+    return t, u, v, ok
+
+
+def bvh_tri_closest(scene: T.Scene, o, d, t_min, t_max):
+    """Closest triangle hit via stackless skip-link BVH traversal
+    (replacing the recursive walk of hittable/bvh.go:69-82). All rays step
+    the tree in lockstep; finished rays park at node == n_nodes. The
+    shrinking t_best reproduces the reference's rayT.Max shrinkage."""
+    bvh = scene.tri_bvh
+    tr = scene.triangles
+    n = o.shape[0]
+    n_nodes = bvh.n_nodes
+    leaf = bvh.leaf_size
+
+    d_safe = jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
+    inv_d = 1.0 / d_safe
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, t_best, idx_best = state
+        nc = jnp.minimum(node, n_nodes - 1)
+        nmin = bvh.node_min[nc]
+        nmax = bvh.node_max[nc]
+        t0 = (nmin - o) * inv_d
+        t1 = (nmax - o) * inv_d
+        near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        # aabb.Hit (aabb.go:90-113): shrink [Min, Max] per axis, fail when
+        # Max <= Min — i.e. hit iff max(near, t_min) < min(far, t_best)
+        live = node < n_nodes
+        hit_box = live & (jnp.maximum(near, t_min)
+                          < jnp.minimum(far, jnp.minimum(t_best, t_max)))
+        count = bvh.count[nc]
+        is_leaf = count > 0
+        do_leaf = hit_box & is_leaf
+        first = bvh.first[nc]
+        for k in range(leaf):
+            tid = bvh.order[jnp.clip(first + k, 0, bvh.order.shape[0] - 1)]
+            tid_c = jnp.clip(tid, 0, tr.count - 1)
+            t_k, _, _, ok_k = tri_hit_gathered(tr, tid_c, o, d, t_min, t_max)
+            upd = do_leaf & (k < count) & (tid >= 0) & ok_k & (t_k < t_best)
+            t_best = jnp.where(upd, t_k, t_best)
+            idx_best = jnp.where(upd, tid_c, idx_best)
+        node = jnp.where(live,
+                         jnp.where(hit_box & ~is_leaf, nc + 1, bvh.skip[nc]),
+                         node)
+        return node, t_best, idx_best
+
+    node0 = jnp.zeros((n,), dtype=jnp.int32)
+    t_best0 = jnp.full((n,), INF, dtype=o.dtype)
+    idx0 = jnp.zeros((n,), dtype=jnp.int32)
+    _, t_best, idx_best = jax.lax.while_loop(cond, body, (node0, t_best0, idx0))
+    return t_best, idx_best
+
+
+def _tri_attrs(tr: T.Triangles, o, d, t, idx):
+    # Recompute barycentrics per winning triangle with the well-conditioned
+    # local form (objects.go:408-446); the min-reduce pass only resolved t.
+    _, u, v, _ = tri_hit_gathered(tr, idx, o, d, -INF, INF)
 
     p = o + t[:, None] * d
     w = 1.0 - u - v
@@ -154,35 +222,29 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
           u_med: jnp.ndarray, t_min: float = T_MIN, t_max: float = INF) -> Hit:
     """Closest hit for a ray bundle. u_med: (N, M) uniforms for media."""
     n = o.shape[0]
-    tables = []
-    codes = []
+    per_class = []  # (code, t (N,), idx (N,))
     if scene.has_spheres:
-        tables.append(ix.sphere_ts(scene.spheres, o, d, time, t_min, t_max))
-        codes.append((CLS_SPHERE, scene.spheres.count))
+        ts = ix.sphere_ts(scene.spheres, o, d, time, t_min, t_max)
+        per_class.append((CLS_SPHERE, ts.min(axis=1), jnp.argmin(ts, axis=1)))
     if scene.has_quads:
-        tables.append(ix.quad_ts(scene.quads, o, d, t_min, t_max))
-        codes.append((CLS_QUAD, scene.quads.count))
+        ts = ix.quad_ts(scene.quads, o, d, t_min, t_max)
+        per_class.append((CLS_QUAD, ts.min(axis=1), jnp.argmin(ts, axis=1)))
     if scene.has_triangles:
-        tables.append(ix.tri_ts(scene.triangles, o, d, t_min, t_max))
-        codes.append((CLS_TRI, scene.triangles.count))
+        if scene.has_tri_bvh:
+            t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
+            per_class.append((CLS_TRI, t_t, i_t))
+        else:
+            ts = ix.tri_ts(scene.triangles, o, d, t_min, t_max)
+            per_class.append((CLS_TRI, ts.min(axis=1), jnp.argmin(ts, axis=1)))
 
-    if tables:
-        all_ts = jnp.concatenate(tables, axis=1)
-        flat_idx = jnp.argmin(all_ts, axis=1)
-        t_solid = jnp.take_along_axis(all_ts, flat_idx[:, None], axis=1)[:, 0]
-        # decode (class, local index)
-        cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
-        loc = jnp.zeros((n,), dtype=jnp.int32)
-        off = 0
-        for code, cnt in codes:
-            in_range = (flat_idx >= off) & (flat_idx < off + cnt)
-            cls = jnp.where(in_range, code, cls)
-            loc = jnp.where(in_range, flat_idx - off, loc)
-            off += cnt
-    else:
-        t_solid = jnp.full((n,), INF, dtype=o.dtype)
-        cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
-        loc = jnp.zeros((n,), dtype=jnp.int32)
+    t_solid = jnp.full((n,), INF, dtype=o.dtype)
+    cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
+    loc = jnp.zeros((n,), dtype=jnp.int32)
+    for code, t_c, i_c in per_class:
+        closer = t_c < t_solid
+        t_solid = jnp.where(closer, t_c, t_solid)
+        cls = jnp.where(closer, code, cls)
+        loc = jnp.where(closer, i_c, loc)
 
     if scene.has_media:
         med_ts = media_candidates(scene, o, d, t_solid, u_med, t_min)

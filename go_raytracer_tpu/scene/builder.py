@@ -283,7 +283,8 @@ class SceneBuilder:
         self._lights.append((kmap[kind], idx))
 
     # ---------------------------------------------------------------- build
-    def build(self, dtype=jnp.float32) -> T.Scene:
+    def build(self, dtype=jnp.float32, bvh_threshold: int = 2048,
+              bvh_leaf_size: int = 8) -> T.Scene:
         f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
         i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
 
@@ -355,6 +356,23 @@ class SceneBuilder:
             mat_id=i32(mat_id_tri),
             active=jnp.arange(v.shape[0]) < n_td,
         )
+
+        # --- triangle BVH for large meshes
+        has_tri_bvh = n_td >= bvh_threshold
+        if has_tri_bvh:
+            from go_raytracer_tpu.scene import bvh as bvh_mod
+
+            fb = bvh_mod.build(v[:n_td], leaf_size=bvh_leaf_size)
+            tri_bvh = T.TriBVH(
+                node_min=f(fb.node_min), node_max=f(fb.node_max),
+                first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
+                order=i32(fb.order), n_nodes=fb.n_nodes,
+                leaf_size=fb.leaf_size)
+        else:
+            tri_bvh = T.TriBVH(
+                node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),
+                first=i32([0]), count=i32([0]), skip=i32([1]),
+                order=i32([-1]), n_nodes=1, leaf_size=1)
 
         # --- media
         md = self._media or [dict(kind=T.MEDIUM_SPHERE, center=(0, 0, 0), radius=1.0,
@@ -432,6 +450,8 @@ class SceneBuilder:
             materials=materials, textures=textures, perlin=perlin,
             images=images, lights=lights,
             background=f(self.background),
+            tri_bvh=tri_bvh,
+            has_tri_bvh=has_tri_bvh,
             has_spheres=n_sp > 0,
             has_quads=n_qd > 0,
             has_triangles=n_td > 0,

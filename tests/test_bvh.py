@@ -1,0 +1,94 @@
+"""BVH build + traversal tests: flat-tree invariants and exact agreement
+with the dense GEMM intersector on random meshes."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from go_raytracer_tpu.ops import trace as trace_mod
+from go_raytracer_tpu.scene import bvh as bvh_mod
+from go_raytracer_tpu.scene.builder import SceneBuilder
+
+
+def random_mesh(n_tris, seed=0, extent=10.0):
+    rs = np.random.default_rng(seed)
+    base = rs.uniform(-extent, extent, (n_tris, 1, 3))
+    verts = base + rs.uniform(-0.8, 0.8, (n_tris, 3, 3))
+    return verts
+
+
+def test_flat_bvh_invariants():
+    v = random_mesh(500, seed=1)
+    fb = bvh_mod.build(v, leaf_size=4)
+    m = fb.n_nodes
+    # every triangle appears exactly once in leaf order
+    ids = fb.order[fb.order >= 0]
+    assert sorted(ids.tolist()) == list(range(500))
+    # leaves cover their ranges; skip links are monotone and in (i, m]
+    for i in range(m):
+        assert i < fb.skip[i] <= m
+        if fb.count[i] > 0:
+            assert fb.skip[i] == i + 1  # leaf subtree is itself
+        lo, hi = fb.node_min[i], fb.node_max[i]
+        assert np.all(lo <= hi)
+    # children boxes nest within parents (DFS: child of i is i+1)
+    for i in range(m):
+        if fb.count[i] == 0:
+            j = i + 1
+            assert np.all(fb.node_min[i] <= fb.node_min[j] + 1e-5)
+            assert np.all(fb.node_max[i] >= fb.node_max[j] - 1e-5)
+
+
+def _scenes_with_and_without_bvh(n_tris, seed):
+    v = random_mesh(n_tris, seed=seed)
+    def make(threshold):
+        b = SceneBuilder()
+        m = b.lambertian((1, 1, 1))
+        b.add_mesh(v, np.full(n_tris, m, dtype=np.int32))
+        return b.build(bvh_threshold=threshold, bvh_leaf_size=4)
+    return make(1), make(10**9)  # with bvh, without
+
+
+def test_bvh_matches_dense_closest_hit():
+    s_bvh, s_dense = _scenes_with_and_without_bvh(400, seed=2)
+    assert s_bvh.has_tri_bvh and not s_dense.has_tri_bvh
+
+    rs = np.random.default_rng(3)
+    n = 256
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    t = jnp.zeros(n, dtype=jnp.float32)
+    u_med = jnp.ones((n, 1), dtype=jnp.float32)
+
+    h_bvh = trace_mod.trace(s_bvh, o, d, t, u_med)
+    h_dense = trace_mod.trace(s_dense, o, d, t, u_med)
+
+    np.testing.assert_array_equal(np.asarray(h_bvh.hit), np.asarray(h_dense.hit))
+    hits = np.asarray(h_bvh.hit)
+    np.testing.assert_allclose(np.asarray(h_bvh.t)[hits],
+                               np.asarray(h_dense.t)[hits], rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_bvh.normal)[hits],
+                               np.asarray(h_dense.normal)[hits], atol=2e-3)
+
+
+def test_bvh_closest_among_overlapping():
+    # stacked parallel triangles: closest must win
+    b = SceneBuilder()
+    m = b.lambertian((1, 1, 1))
+    tris = []
+    for z in range(-20, 0):
+        tris.append([(-1, -1, float(z)), (1, -1, float(z)), (0, 1, float(z))])
+    b.add_mesh(np.asarray(tris), np.full(len(tris), m, dtype=np.int32))
+    s = b.build(bvh_threshold=1, bvh_leaf_size=2)
+    o = jnp.asarray([[0, 0, 5]], dtype=jnp.float32)
+    d = jnp.asarray([[0, 0, -1]], dtype=jnp.float32)
+    h = trace_mod.trace(s, o, d, jnp.zeros(1), jnp.ones((1, 1)))
+    assert bool(h.hit[0])
+    assert float(h.t[0]) == 6.0  # first triangle at z=-1
+
+
+def test_builder_threshold_controls_bvh():
+    b = SceneBuilder()
+    m = b.lambertian((1, 1, 1))
+    b.triangle([(-1, -1, -5), (1, -1, -5), (0, 1, -5)], m)
+    s = b.build()
+    assert not s.has_tri_bvh  # tiny scene stays dense
