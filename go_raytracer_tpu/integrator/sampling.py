@@ -158,13 +158,17 @@ def lights_pdf_value(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndar
     lt = scene.lights
     if lt.n == 0:
         return jnp.zeros(o.shape[0], dtype=o.dtype)
-    pdf_q = _quad_light_pdf(scene, lt.prim_id, o, d)
-    pdf_s = _sphere_light_pdf(scene, lt.prim_id, o, d)
-    pdf_t = (_tri_light_pdf(scene, lt.prim_id, o, d)
-             if scene.has_triangles else jnp.zeros_like(pdf_q))
     kind = lt.kind[None, :]
-    per_light = jnp.where(kind == T.LIGHT_QUAD, pdf_q,
-                          jnp.where(kind == T.LIGHT_SPHERE, pdf_s, pdf_t))
+    per_light = jnp.zeros((o.shape[0], lt.count), dtype=o.dtype)
+    if scene.has_quad_lights:
+        pdf_q = _quad_light_pdf(scene, lt.prim_id, o, d)
+        per_light = jnp.where(kind == T.LIGHT_QUAD, pdf_q, per_light)
+    if scene.has_sphere_lights:
+        pdf_s = _sphere_light_pdf(scene, lt.prim_id, o, d)
+        per_light = jnp.where(kind == T.LIGHT_SPHERE, pdf_s, per_light)
+    if scene.has_tri_lights and scene.has_triangles:
+        pdf_t = _tri_light_pdf(scene, lt.prim_id, o, d)
+        per_light = jnp.where(kind == T.LIGHT_TRIANGLE, pdf_t, per_light)
     live = (jnp.arange(lt.count) < lt.n)[None, :]
     return jnp.sum(jnp.where(live, per_light, 0.0), axis=1) / lt.n
 
@@ -178,24 +182,26 @@ def lights_sample(scene: T.Scene, origin: jnp.ndarray, u_pick: jnp.ndarray,
     kind = lt.kind[li]
     pid = lt.prim_id[li]
 
-    # quad surface point (objects.go:161-165)
-    qd = scene.quads
-    qpid = jnp.clip(pid, 0, qd.count - 1)
-    p_q = qd.q[qpid] + u1[:, None] * qd.u[qpid] + u2[:, None] * qd.v[qpid]
-    dir_q = p_q - origin
+    out = jnp.zeros_like(origin)
+    if scene.has_quad_lights:
+        # quad surface point (objects.go:161-165)
+        qd = scene.quads
+        qpid = jnp.clip(pid, 0, qd.count - 1)
+        p_q = qd.q[qpid] + u1[:, None] * qd.u[qpid] + u2[:, None] * qd.v[qpid]
+        out = jnp.where((kind == T.LIGHT_QUAD)[:, None], p_q - origin, out)
 
-    # sphere cone sample (objects.go:63-80)
-    sp = scene.spheres
-    spid = jnp.clip(pid, 0, sp.count - 1)
-    to_c = sp.center0[spid] - origin
-    dist_sq = vm.length_squared(to_c)
-    basis = onb.build(to_c)
-    local = rng.to_sphere(sp.radius[spid], dist_sq, u1, u2)
-    dir_s = onb.transform(basis, local)
+    if scene.has_sphere_lights:
+        # sphere cone sample (objects.go:63-80)
+        sp = scene.spheres
+        spid = jnp.clip(pid, 0, sp.count - 1)
+        to_c = sp.center0[spid] - origin
+        dist_sq = vm.length_squared(to_c)
+        basis = onb.build(to_c)
+        local = rng.to_sphere(sp.radius[spid], dist_sq, u1, u2)
+        dir_s = onb.transform(basis, local)
+        out = jnp.where((kind == T.LIGHT_SPHERE)[:, None], dir_s, out)
 
-    out = jnp.where((kind == T.LIGHT_QUAD)[:, None], dir_q, dir_s)
-
-    if scene.has_triangles:
+    if scene.has_tri_lights and scene.has_triangles:
         # triangle barycentric sample (objects.go:369-385)
         tr = scene.triangles
         tpid = jnp.clip(pid, 0, tr.count - 1)

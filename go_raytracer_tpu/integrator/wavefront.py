@@ -63,10 +63,11 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
 
     miss = alive & ~hit.hit
     lit = alive & hit.hit
+    false1 = jnp.zeros_like(lit)
     is_light = lit & (kind == T.MAT_DIFFUSE_LIGHT)
-    is_metal = lit & (kind == T.MAT_METAL)
-    is_diel = lit & (kind == T.MAT_DIELECTRIC)
-    is_iso = lit & (kind == T.MAT_ISOTROPIC)
+    is_metal = (lit & (kind == T.MAT_METAL)) if scene.has_metal else false1
+    is_diel = (lit & (kind == T.MAT_DIELECTRIC)) if scene.has_dielectric else false1
+    is_iso = (lit & (kind == T.MAT_ISOTROPIC)) if scene.has_isotropic else false1
     is_lamb = lit & (kind == T.MAT_LAMBERTIAN)
     diffuse = is_lamb | is_iso
 
@@ -76,41 +77,25 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
     E = jnp.where(miss[:, None], scene.background[None, :].astype(o.dtype), zero3)
     E = jnp.where((is_light & hit.front_face)[:, None], tex_val, E)
 
-    # metal (materials.go:70-79): reflect raw dir, normalize, add fuzz sphere
-    fuzz_vec = rng.unit_vector(u[:, U_METAL_A], u[:, U_METAL_B])
-    d_metal = vm.normalize(vm.reflect(d, hit.normal)) + fuzz[:, None] * fuzz_vec
-
-    # dielectric (materials.go:94-130)
-    ud = vm.normalize(d)
-    ri = jnp.where(hit.front_face, 1.0 / ref_idx, ref_idx)
-    cos_t = jnp.minimum(vm.dot(-ud, hit.normal), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    # Schlick uses the *material* index regardless of travel direction
-    # (materials.go:126-130) — a reference quirk we preserve.
-    r0 = ((1.0 - ref_idx) / (1.0 + ref_idx)) ** 2
-    schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-    must_reflect = ri * sin_t > 1.0
-    do_reflect = must_reflect | (schlick > u[:, U_DIEL])
-    d_diel = jnp.where(do_reflect[:, None],
-                       vm.reflect(ud, hit.normal),
-                       vm.refract(ud, hit.normal, ri[:, None]))
-
     # diffuse: 50/50 mixture of light pdf and material pdf (camera.go:319-328,
     # pdf.go:58-74)
     light_dir = sampling.lights_sample(scene, hit.p, u[:, U_PICK], u[:, U_LA], u[:, U_LB])
     basis = onb.build(hit.normal)
     cos_dir = onb.transform(basis, rng.cosine_direction(u[:, U_MA], u[:, U_MB]))
-    iso_dir = rng.unit_vector(u[:, U_MA], u[:, U_MB])
-    mat_dir = jnp.where(is_iso[:, None], iso_dir, cos_dir)
+    if scene.has_isotropic:
+        iso_dir = rng.unit_vector(u[:, U_MA], u[:, U_MB])
+        mat_dir = jnp.where(is_iso[:, None], iso_dir, cos_dir)
+    else:
+        mat_dir = cos_dir
     gen_dir = jnp.where((u[:, U_MIX] < 0.5)[:, None], light_dir, mat_dir)
 
     l_pdf = sampling.lights_pdf_value(scene, hit.p, gen_dir)
     unit_gen = vm.normalize(gen_dir)
     cos_theta = vm.dot(unit_gen, hit.normal)
     cosine_pdf = jnp.maximum(0.0, cos_theta) / jnp.pi  # pdf.go:33-36
-    mat_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf)
+    mat_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf) if scene.has_isotropic else cosine_pdf
     pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf            # pdf.go:65-67
-    scatter_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf)  # materials.go:51-57,161-163
+    scatter_pdf = mat_pdf                              # materials.go:51-57,161-163
     # NaN-parity note: pdf_value==0 lanes produce inf/NaN exactly like the
     # reference's 1/pdfValue (camera.go:328); the safe ratio below is only
     # for lanes that are masked out (non-diffuse), so grads don't poison.
@@ -118,12 +103,34 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
         diffuse, pdf_value, 1.0)
     w_diffuse = tex_val * ratio[:, None]
 
-    W = jnp.where(is_metal[:, None], tex_val, zero3)       # metal albedo
-    W = jnp.where(is_diel[:, None], jnp.ones_like(tex_val), W)  # (1,1,1)
-    W = jnp.where(diffuse[:, None], w_diffuse, W)
+    W = jnp.where(diffuse[:, None], w_diffuse, zero3)
+    new_d = gen_dir
 
-    new_d = jnp.where(is_metal[:, None], d_metal,
-                      jnp.where(is_diel[:, None], d_diel, gen_dir))
+    if scene.has_metal:
+        # metal (materials.go:70-79): reflect raw dir, normalize, add fuzz
+        fuzz_vec = rng.unit_vector(u[:, U_METAL_A], u[:, U_METAL_B])
+        d_metal = vm.normalize(vm.reflect(d, hit.normal)) + fuzz[:, None] * fuzz_vec
+        W = jnp.where(is_metal[:, None], tex_val, W)   # metal albedo
+        new_d = jnp.where(is_metal[:, None], d_metal, new_d)
+
+    if scene.has_dielectric:
+        # dielectric (materials.go:94-130)
+        ud = vm.normalize(d)
+        ri = jnp.where(hit.front_face, 1.0 / ref_idx, ref_idx)
+        cos_t = jnp.minimum(vm.dot(-ud, hit.normal), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        # Schlick uses the *material* index regardless of travel direction
+        # (materials.go:126-130) — a reference quirk we preserve.
+        r0 = ((1.0 - ref_idx) / (1.0 + ref_idx)) ** 2
+        schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+        must_reflect = ri * sin_t > 1.0
+        do_reflect = must_reflect | (schlick > u[:, U_DIEL])
+        d_diel = jnp.where(do_reflect[:, None],
+                           vm.reflect(ud, hit.normal),
+                           vm.refract(ud, hit.normal, ri[:, None]))
+        W = jnp.where(is_diel[:, None], jnp.ones_like(tex_val), W)  # (1,1,1)
+        new_d = jnp.where(is_diel[:, None], d_diel, new_d)
+
     new_o = jnp.where(lit[:, None], hit.p, o)
     alive_next = is_metal | is_diel | diffuse
     return E, W, diffuse, new_o, new_d, alive_next

@@ -459,4 +459,10 @@ class SceneBuilder:
             has_noise=any(r["kind"] in (T.TEX_PERLIN, T.TEX_MARBLE, T.TEX_TURBULENT)
                           for r in tx),
             has_image=any(r["kind"] == T.TEX_IMAGE for r in tx),
+            has_metal=any(r["kind"] == T.MAT_METAL for r in mt),
+            has_dielectric=any(r["kind"] == T.MAT_DIELECTRIC for r in mt),
+            has_isotropic=any(r["kind"] == T.MAT_ISOTROPIC for r in mt),
+            has_quad_lights=any(k == T.LIGHT_QUAD for k, _ in lt),
+            has_sphere_lights=any(k == T.LIGHT_SPHERE for k, _ in lt),
+            has_tri_lights=any(k == T.LIGHT_TRIANGLE for k, _ in lt),
         )

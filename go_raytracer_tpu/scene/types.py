@@ -254,3 +254,11 @@ class Scene:
     has_media: bool = struct.field(pytree_node=False, default=False)
     has_noise: bool = struct.field(pytree_node=False, default=False)
     has_image: bool = struct.field(pytree_node=False, default=False)
+    # material-kind flags: let jit drop whole shading branches per scene
+    has_metal: bool = struct.field(pytree_node=False, default=True)
+    has_dielectric: bool = struct.field(pytree_node=False, default=True)
+    has_isotropic: bool = struct.field(pytree_node=False, default=True)
+    # light-kind flags: skip unused pdf evaluators in the mixture
+    has_quad_lights: bool = struct.field(pytree_node=False, default=True)
+    has_sphere_lights: bool = struct.field(pytree_node=False, default=True)
+    has_tri_lights: bool = struct.field(pytree_node=False, default=False)
