@@ -137,22 +137,46 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
 
 
 def radiance(scene: T.Scene, o, d, time, key, max_depth: int,
-             max_contribution: float, mode: str = "scan"):
+             max_contribution: float, mode: str = "scan",
+             backend: str = "xla"):
     """Per-ray radiance (N, 3) for camera rays (o, d, time).
 
     mode="scan": differentiable fixed-trip scan.
     mode="while": early-exits once all rays terminate (inference).
+    backend="xla" | "pallas" | "auto": "pallas" fuses the whole bounce into
+    one TPU megakernel (ops/pallas/bounce.py) — forward-only; "auto" picks
+    pallas when the scene's capability flags allow it and N is lane-aligned.
     Returns (L, stats) where stats["segments"] counts traced ray segments.
     """
+    from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+
     n = o.shape[0]
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and pallas_bounce.supported(scene) and n % 128 == 0)
+    interpret = jax.default_backend() != "tpu"
     n_u = N_FIXED_U + scene.media.count
     steps = max_depth + 1
     dtype = o.dtype
 
+    if use_pallas:
+        prims, lights_packed = pallas_bounce.pack_scene(scene)
+        n_prims = prims.shape[0]
+        n_lights = lights_packed.shape[0]
+
     def fwd_step(carry, step_key):
         o_c, d_c, t_c, alive_c = carry
         u = jax.random.uniform(step_key, (n, n_u), dtype=dtype)
-        E, W, cf, no, nd, na = _bounce(scene, o_c, d_c, t_c, alive_c, u)
+        if use_pallas:
+            E, W, cf, no, nd, na = pallas_bounce.bounce(
+                prims, lights_packed, o_c, d_c, t_c, alive_c,
+                u[:, :pallas_bounce.N_U], scene.background,
+                n_prims=n_prims, n_lights=n_lights,
+                n_lights_live=scene.lights.n,
+                has_metal=scene.has_metal,
+                has_dielectric=scene.has_dielectric,
+                interpret=interpret)
+        else:
+            E, W, cf, no, nd, na = _bounce(scene, o_c, d_c, t_c, alive_c, u)
         dead = ~alive_c
         E = jnp.where(dead[:, None], 0.0, E)
         W = jnp.where(dead[:, None], 0.0, W)

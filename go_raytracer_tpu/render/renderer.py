@@ -33,7 +33,7 @@ def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = No
            mode: str = "while", ray_batch: int = 1 << 17, dtype=jnp.float32,
            verbose: bool = False, checkpoint_path: Optional[str] = None,
            checkpoint_every: int = 8, scene_name: str = "",
-           strata_per_launch: int = 0):
+           strata_per_launch: int = 0, backend: str = "auto"):
     """Render the scene; returns (linear image (H, W, 3) float, stats dict).
 
     Launch structure: pixels are chunked to `ray_batch` to bound HBM, and
@@ -53,7 +53,8 @@ def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = No
     sqrt_spp = cam.spp_sqrt
     total_strata = sqrt_spp * sqrt_spp
 
-    chunk = min(ray_batch, npix)
+    # lane-align the chunk so the pallas backend stays eligible
+    chunk = min(ray_batch, ((npix + 127) // 128) * 128)
     nchunks = math.ceil(npix / chunk)
     npad = nchunks * chunk
     k_strata = strata_per_launch or total_strata
@@ -72,7 +73,7 @@ def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = No
                                                k_rays, dtype=dtype)
             radiance, stats = wavefront.radiance(
                 scene, o, d, t, k_path, cam.max_depth, cam.max_contribution,
-                mode=mode)
+                mode=mode, backend=backend)
             return acc_c.at[ids].add(radiance), segs + stats["segments"]
 
         return jax.lax.fori_loop(0, n_local, body, (acc, jnp.int64(0) if

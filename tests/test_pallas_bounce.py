@@ -1,0 +1,104 @@
+"""Pallas bounce megakernel vs the XLA bounce: identical uniforms ->
+near-identical outputs (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from go_raytracer_tpu.integrator import wavefront
+from go_raytracer_tpu.ops.pallas import bounce as pb
+from go_raytracer_tpu.scene.builder import SceneBuilder
+
+
+def cornell_like():
+    b = SceneBuilder(background=(0.05, 0.1, 0.15))
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    checker = b.lambertian(tex=b.checker(2.0, (0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    light = b.diffuse_light((15, 15, 15))
+    metal = b.metal((0.8, 0.85, 0.9), 0.2)
+    glass = b.dielectric(1.5)
+    b.quad((555, 0, 0), (0, 555, 0), (0, 0, 555), red)
+    b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+    # checker on the z=555 wall: hits land in cell interiors (a checker on
+    # the y=0 floor would put every hit exactly on a cell boundary, where
+    # f32 rounding legitimately flips parity between backends)
+    b.quad((0, 0, 555), (555, 0, 0), (0, 555, 0), checker)
+    lq = b.quad((343, 550, 332), (-130, 0, 0), (0, 0, -105), light)
+    b.sphere((190, 90, 190), 90, glass)
+    b.sphere((400, 90, 120), 90, metal, center2=(400, 120, 120))
+    ls = b.sphere((130, 500, 130), 40, light)
+    b.add_light(lq)
+    b.add_light(ls)
+    return b.build()
+
+
+def test_supported_flags():
+    s = cornell_like()
+    assert pb.supported(s)
+    # scenes with media/noise fall back
+    b = SceneBuilder()
+    b.quad((0, 0, 0), (1, 0, 0), (0, 1, 0), b.lambertian(tex=b.noise_texture(1.0)))
+    b.add_light(b.quad((0, 0, 5), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1))))
+    assert not pb.supported(b.build())
+
+
+def test_pallas_bounce_matches_xla_bounce():
+    s = cornell_like()
+    n = 512
+    rs = np.random.default_rng(0)
+    o = jnp.asarray(rs.uniform(50, 500, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)) * 300, dtype=jnp.float32)
+    t = jnp.asarray(rs.uniform(0, 1, n), dtype=jnp.float32)
+    alive = jnp.ones(n, dtype=bool)
+    u = jax.random.uniform(jax.random.key(3), (n, wavefront.N_FIXED_U))
+
+    E1, W1, cf1, no1, nd1, na1 = wavefront._bounce(s, o, d, t, alive, u)
+
+    prims, lights = pb.pack_scene(s)
+    E2, W2, cf2, no2, nd2, na2 = pb.bounce(
+        prims, lights, o, d, t, alive, u[:, :pb.N_U], s.background,
+        n_prims=prims.shape[0], n_lights=lights.shape[0],
+        n_lights_live=s.lights.n, has_metal=True, has_dielectric=True,
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(na1), np.asarray(na2))
+    np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
+    np.testing.assert_allclose(np.asarray(no1), np.asarray(no2), rtol=2e-4, atol=2e-3)
+    # weights/emissions agree everywhere; directions only matter on lanes
+    # that continue (terminated lanes' directions are don't-care). NaN lanes
+    # (e.g. inside-light-sphere pdf quirk) must be NaN in both.
+    cont = np.asarray(na1)
+    for a, b_, mask in ((E1, E2, None), (W1, W2, None), (nd1, nd2, cont)):
+        a = np.asarray(a)
+        b_ = np.asarray(b_)
+        if mask is not None:
+            a, b_ = a[mask], b_[mask]
+        nan_a = np.isnan(a)
+        assert (nan_a == np.isnan(b_)).all()
+        np.testing.assert_allclose(a[~nan_a], b_[~nan_a], rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_radiance_path_matches_xla():
+    s = cornell_like()
+    n = 256
+    o = jnp.tile(jnp.asarray([[278.0, 278.0, -800.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 800.0]]), (n, 1)) + \
+        jax.random.normal(jax.random.key(1), (n, 3)) * 150
+    t = jnp.zeros(n)
+    key = jax.random.key(7)
+    L_xla, st1 = wavefront.radiance(s, o, d, t, key, 8, 1.5,
+                                    mode="scan", backend="xla")
+    L_pl, st2 = wavefront.radiance(s, o, d, t, key, 8, 1.5,
+                                   mode="scan", backend="pallas")
+    a = np.nan_to_num(np.asarray(L_xla))
+    b = np.nan_to_num(np.asarray(L_pl))
+    # path tracing is chaotic: a near-tie hit decided differently by f32
+    # rounding sends the rest of that path elsewhere. Require the vast
+    # majority of lanes to agree tightly and the means to match.
+    close = np.abs(a - b) <= 5e-3 + 5e-3 * np.abs(a)
+    assert close.mean() > 0.97, f"only {close.mean():.3f} lanes agree"
+    np.testing.assert_allclose(a.mean(0), b.mean(0), rtol=2e-2, atol=2e-3)
+    assert abs(int(st1["segments"]) - int(st2["segments"])) <= \
+        0.01 * int(st1["segments"]) + 8
