@@ -516,7 +516,20 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
     lights (L, L_COLS); bg (3,). Returns E (N,3), W (N,3), cf (N,), new_o,
     new_d (N,3), alive' (N,).
     """
-    n = o.shape[0]
+    n_orig = o.shape[0]
+    # Tile the ray axis: Mosaic compile time scales with the block's
+    # instruction count, so fixed (TILE_ROWS, 128) blocks + a grid keep the
+    # program small for any N. Pad N to a whole number of tiles.
+    TILE_ROWS = 32
+    tile = TILE_ROWS * LANE
+    n = ((n_orig + tile - 1) // tile) * tile
+    pad = n - n_orig
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        time = jnp.concatenate([time, jnp.zeros((pad,), time.dtype)])
+        alive = jnp.concatenate([alive, jnp.zeros((pad,), alive.dtype)])
+        u = jnp.concatenate([u, jnp.full((pad, u.shape[1]), 0.5, u.dtype)])
     rows = n // LANE
     shape = (rows, LANE)
     plane = lambda x: x.reshape(rows, LANE)
@@ -528,6 +541,13 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
     kernel = functools.partial(_bounce_kernel, n_prims, n_lights,
                                n_lights_live, has_metal, has_dielectric)
 
+    grid = (rows // TILE_ROWS,)
+    row_spec_f = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    in_specs = ([table_spec(prims), table_spec(lights),
+                 pl.BlockSpec((1, 3), lambda i: (0, 0))]
+                + [row_spec_f] * (8 + N_U))
+    out_specs = [row_spec_f] * 14
     out_shapes = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
         [jax.ShapeDtypeStruct(shape, jnp.int32)] + \
         [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
@@ -535,13 +555,16 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
 
     outs = pl.pallas_call(
         kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
     )(prims, lights, bg.reshape(1, 3).astype(jnp.float32),
       *planes, *u_planes)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2) = outs
-    unp = lambda x: x.reshape(n)
+    unp = lambda x: x.reshape(n)[:n_orig]
     E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
     W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
