@@ -29,11 +29,12 @@ def main():
     # warmup (compile; persistent cache makes later runs fast). Identical
     # launch shape to the timed run so the executable is reused.
     renderer.render(scene, cam, key=key, mode="while", ray_batch=1 << 19,
-                    verbose=False)
+                    verbose=False, backend="auto")
 
     t0 = time.time()
     _, stats = renderer.render(scene, cam, key=key, mode="while",
-                               ray_batch=1 << 19, verbose=False)
+                               ray_batch=1 << 19, verbose=False,
+                               backend="auto")
     rays_per_s = stats["rays_per_s"]
     print(json.dumps({
         "metric": "rays_per_s",

@@ -193,8 +193,9 @@ def media_candidates(scene: T.Scene, o, d, t_solid, u_med, t_min=T_MIN):
     o_obj = jnp.stack([cos * osh[..., 0] - sin * osh[..., 2],
                        osh[..., 1],
                        sin * osh[..., 0] + cos * osh[..., 2]], axis=-1)
+    dy_b = jnp.broadcast_to(d_b[..., 1], (o.shape[0], med.count))
     d_obj = jnp.stack([cos * d_b[..., 0] - sin * d_b[..., 2],
-                       d_b[..., 1],
+                       dy_b,
                        sin * d_b[..., 0] + cos * d_b[..., 2]], axis=-1)
     near_b, far_b, ok_b = ix.box_slab_span(
         med.box_min[None, :, :], med.box_max[None, :, :], o_obj, d_obj)

@@ -95,16 +95,23 @@ class Camera:
         )
 
 
-@dataclasses.dataclass
+import flax.struct as _struct
+
+
+@_struct.dataclass
 class CameraArrays:
+    """Derived camera tables as a pytree so jitted render loops can take the
+    camera as an argument (defocus_angle gates a python branch and
+    recip_spp_sqrt is baked into ray math -> static fields)."""
+
     center: jnp.ndarray
     pixel00: jnp.ndarray
     du: jnp.ndarray
     dv: jnp.ndarray
     defocus_u: jnp.ndarray
     defocus_v: jnp.ndarray
-    defocus_angle: float
-    recip_spp_sqrt: float
+    defocus_angle: float = _struct.field(pytree_node=False, default=0.0)
+    recip_spp_sqrt: float = _struct.field(pytree_node=False, default=0.1)
 
 
 def generate_rays(arrays: CameraArrays, width: int, pixel_ids: jnp.ndarray,
