@@ -25,16 +25,30 @@ def main():
     scene, cam = registry.cornell_box()
     cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
     key = jax.random.key(0)
+    backend = "auto"
 
-    # warmup (compile; persistent cache makes later runs fast). Identical
-    # launch shape to the timed run so the executable is reused.
-    renderer.render(scene, cam, key=key, mode="while", ray_batch=1 << 19,
-                    verbose=False, backend="auto")
+    def run(c, **kw):
+        return renderer.render(scene, c, key=key, mode="while",
+                               ray_batch=1 << 19, verbose=False,
+                               backend=backend, **kw)
+
+    # staged warmup: a tiny render compiles the (grid-tiled, shape-reusable)
+    # pallas kernel quickly; the full-shape warm then compiles only the
+    # cheap outer graph. Falls back to the XLA backend on any pallas issue.
+    small = registry.cornell_box()[1]
+    small.width = 128
+    small.samples_per_pixel = 4
+    small.max_depth = cam.max_depth
+    try:
+        run(small)
+        run(cam)
+    except Exception:
+        backend = "xla"
+        run(small)
+        run(cam)
 
     t0 = time.time()
-    _, stats = renderer.render(scene, cam, key=key, mode="while",
-                               ray_batch=1 << 19, verbose=False,
-                               backend="auto")
+    _, stats = run(cam)
     rays_per_s = stats["rays_per_s"]
     print(json.dumps({
         "metric": "rays_per_s",
@@ -48,6 +62,7 @@ def main():
             "max_depth": cam.max_depth,
             "elapsed_s": stats["elapsed_s"],
             "paths_per_s": stats["paths_per_s"],
+            "backend": backend,
             "device": str(jax.devices()[0]),
         },
     }))
