@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=None, help="override image width")
     ap.add_argument("--max-depth", type=int, default=None, help="override max depth")
     ap.add_argument("--mode", choices=["while", "scan"], default="while")
+    ap.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
+                    help="bounce backend: pallas megakernel when supported")
+    ap.add_argument("--regen", action="store_true",
+                    help="use the ray-regeneration integrator (experimental)")
     ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
@@ -64,10 +68,21 @@ def main(argv=None):
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    stats = renderer.render_to_file(
-        scene, cam, args.out, key=jax.random.key(args.seed),
-        mode=args.mode, ray_batch=args.batch, verbose=not args.quiet,
-        checkpoint_path=args.checkpoint or None, scene_name=name)
+    if args.regen:
+        from go_raytracer_tpu.integrator import regen as regen_mod
+        from go_raytracer_tpu.render import film
+        import jax.numpy as jnp
+        import numpy as np
+
+        linear, stats = regen_mod.render_regen(
+            scene, cam, jax.random.key(args.seed), backend=args.backend)
+        film.write_image(args.out, np.asarray(film.tonemap(jnp.asarray(linear))))
+    else:
+        stats = renderer.render_to_file(
+            scene, cam, args.out, key=jax.random.key(args.seed),
+            mode=args.mode, ray_batch=args.batch, verbose=not args.quiet,
+            checkpoint_path=args.checkpoint or None, scene_name=name,
+            backend=args.backend)
     if args.profile:
         jax.profiler.stop_trace()
 
