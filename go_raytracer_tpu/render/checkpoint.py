@@ -22,7 +22,9 @@ def save(path: str, acc: np.ndarray, next_stratum: int, meta: dict):
     """Atomic checkpoint write (tmp + rename)."""
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    # the suffix must be .npz or np.savez silently appends one and the
+    # rename would move an empty file
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez(tmp, acc=acc, next_stratum=np.int64(next_stratum),
