@@ -40,9 +40,14 @@ def main(argv=None):
                     help="accumulator checkpoint path (.npz); resumes if present")
     ap.add_argument("--stats", action="store_true", help="print JSON stats")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debugging / no accelerator)")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from go_raytracer_tpu.utils import cache
     cache.enable_compilation_cache()
@@ -50,7 +55,13 @@ def main(argv=None):
     from go_raytracer_tpu.render import renderer
     from go_raytracer_tpu.scenes import registry
 
-    name, fn = registry.get_scene(args.scene)
+    try:
+        name, fn = registry.get_scene(args.scene)
+    except KeyError:
+        valid = ", ".join(f"{k}={v[0]}" for k, v in registry.SCENES.items())
+        print(f"error: unknown scene {args.scene!r}; valid: {valid}",
+              file=sys.stderr)
+        return 2
     if not args.quiet:
         print(f"Beginning render of {name!r} . . .", file=sys.stderr)
     t0 = time.perf_counter()
