@@ -43,11 +43,11 @@ from go_raytracer_tpu.scene import types as T
 @partial(jax.jit, donate_argnums=(2, 3),
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "n_u", "max_contribution",
-                          "use_pallas", "interpret"))
+                          "use_pallas", "interpret", "cap"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill,
-                n_u, max_contribution, use_pallas, interpret):
+                n_u, max_contribution, use_pallas, interpret, cap):
     n = state[0].shape[0]
     dtype = state[0].dtype
 
@@ -66,6 +66,8 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 has_dielectric=scene.has_dielectric, interpret=interpret)
         return wavefront._bounce(scene, o, d, t, alive, u)
 
+    ni_start = next_item
+
     def fwd_step(carry, inputs):
         state, next_item = carry
         step_key, do_refill = inputs
@@ -73,10 +75,12 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         k_u, k_rays = jax.random.split(step_key)
 
         dead = ~alive
-        # assign queue items to dead lanes (vectorized rank via cumsum)
+        # assign queue items to dead lanes (vectorized rank via cumsum);
+        # the per-window cap bounds the harvest write below
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         item = next_item + rank
-        take = do_refill & dead & (item < total_items)
+        take = (do_refill & dead & (item < total_items)
+                & (item < ni_start + cap))
         stratum = item // npix
         pid = item % npix
         s_i = (stratum // sqrt_spp).astype(dtype)
@@ -104,33 +108,48 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
     (state, next_item), ((Es, Ws, CFs, STs, ITs), segs) = jax.lax.scan(
         fwd_step, (state, next_item), (step_keys, do_refills))
 
-    # reverse harvest: L = clamp?(E + W*L); at start markers write L into
-    # the path's private item slot — collision-free scatter-set.
-    def rev_step(carry, xs):
-        L, acc = carry
+    # reverse harvest: L = clamp?(E + W*L). TPU scatters serialize
+    # (~75ns/row — the original per-step scatter-set was 97% of window
+    # time), so instead each step OUTPUTS (harvest, window-relative slot)
+    # planes; one sort of the window's planes by slot then lands the whole
+    # consumed item range with a single contiguous dynamic-update-slice.
+    def rev_step(L, xs):
         E, W, cf, started, item = xs
         raw = E + W * L
         L = jnp.where(cf[:, None],
                       wavefront.clamp_contribution(raw, max_contribution),
                       raw)
-        slot = jnp.where(started, item, total_items)  # OOB -> dropped
-        acc = acc.at[slot].set(L, mode="drop", unique_indices=True)
+        rel = jnp.where(started, item - ni_start, cap)  # cap = padding key
+        harvest = jnp.where(started[:, None], L, 0.0)
         L = jnp.where(started[:, None], 0.0, L)
-        return (L, acc), None
+        return L, (harvest, rel)
 
-    (_, acc), _ = jax.lax.scan(
-        rev_step, (jnp.zeros((n, 3), dtype), acc),
+    _, (Hs, RELs) = jax.lax.scan(
+        rev_step, jnp.zeros((n, 3), dtype),
         (Es, Ws, CFs, STs, ITs), reverse=True)
+
+    flat_rel = RELs.reshape(-1)
+    flat_h = Hs.reshape(-1, 3)
+    _, hr, hg, hb = jax.lax.sort(
+        (flat_rel, flat_h[:, 0], flat_h[:, 1], flat_h[:, 2]), num_keys=1)
+    vals = jnp.stack([hr[:cap], hg[:cap], hb[:cap]], axis=-1)
+    # entries beyond the actually-consumed count are padding; they land on
+    # item rows not yet consumed (overwritten by a later window) or in the
+    # `cap`-row tail pad of acc — never on finished items.
+    acc = jax.lax.dynamic_update_slice(acc, vals, (ni_start, jnp.int32(0)))
     return acc, state, next_item, jnp.sum(segs)
 
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 backend: str = "auto", dtype=jnp.float32):
+                 backend: str = "auto", dtype=jnp.float32,
+                 max_items_per_window: int = 0):
     """Render the full image with ray regeneration.
 
     Returns (linear image (H, W, 3), stats). `refill_len` defaults to
     2*(max_depth+1), giving ~2/3 occupancy-weighted window efficiency.
+    `max_items_per_window` bounds the per-window harvest write (and thus
+    the refill rate); 0 = an ample default.
     """
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
@@ -143,6 +162,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     window = refill + d1
     n = n_lanes
     n_u = wavefront.N_FIXED_U + scene.media.count
+    cap = max_items_per_window or min(total_items,
+                                      max(1024, n * refill // 2))
 
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
     use_pallas = backend == "pallas" or (
@@ -155,7 +176,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         jnp.zeros((n,), bool),                     # alive
         jnp.zeros((n,), jnp.int32),                # item id
     )
-    acc = jnp.zeros((total_items, 3), dtype)
+    # `cap` tail rows absorb the final window's padding writes
+    acc = jnp.zeros((total_items + cap, 3), dtype)
     next_item = jnp.int32(0)
     segments = 0
     n_windows = 0
@@ -167,7 +189,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
             window=window, refill=refill, n_u=n_u,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", cap=cap)
         segments += int(seg)
         n_windows += 1
         if int(next_item) >= total_items:
@@ -177,7 +199,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
 
     # item = stratum * npix + pixel -> average over strata
     linear = np.asarray(
-        jnp.mean(acc.reshape(n_strata, npix, 3), axis=0)).reshape(h, w, 3)
+        jnp.mean(acc[:total_items].reshape(n_strata, npix, 3),
+                 axis=0)).reshape(h, w, 3)
     stats = {
         "elapsed_s": elapsed,
         "segments": segments,
