@@ -19,36 +19,37 @@ def main():
     from go_raytracer_tpu.utils import cache
     cache.enable_compilation_cache()
 
+    from go_raytracer_tpu.integrator import regen
     from go_raytracer_tpu.render import renderer
     from go_raytracer_tpu.scenes import registry
 
     scene, cam = registry.cornell_box()
     cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
     key = jax.random.key(0)
-    backend = "auto"
 
-    def run(c, **kw):
-        return renderer.render(scene, c, key=key, mode="while",
-                               ray_batch=1 << 19, verbose=False,
-                               backend=backend, **kw)
-
-    # staged warmup: a tiny render compiles the (grid-tiled, shape-reusable)
-    # pallas kernel quickly; the full-shape warm then compiles only the
-    # cheap outer graph. Falls back to the XLA backend on any pallas issue.
-    small = registry.cornell_box()[1]
-    small.width = 128
-    small.samples_per_pixel = 4
-    small.max_depth = cam.max_depth
+    # fastest path: ray-regeneration + pallas bounce; fall back to the plain
+    # wavefront renderer (pallas, then xla) on any issue.
+    mode_used = "regen+pallas"
     try:
-        run(small)
-        run(cam)
+        regen.render_regen(scene, cam, key, n_lanes=1 << 17)  # warm/compile
+        t0 = time.time()
+        _, stats = regen.render_regen(scene, cam, key, n_lanes=1 << 17)
     except Exception:
-        backend = "xla"
-        run(small)
-        run(cam)
+        def run(backend):
+            return renderer.render(scene, cam, key=key, mode="while",
+                                   ray_batch=1 << 19, verbose=False,
+                                   backend=backend)
 
-    t0 = time.time()
-    _, stats = run(cam)
+        try:
+            mode_used = "wavefront+pallas"
+            run("auto")
+            t0 = time.time()
+            _, stats = run("auto")
+        except Exception:
+            mode_used = "wavefront+xla"
+            run("xla")
+            t0 = time.time()
+            _, stats = run("xla")
     rays_per_s = stats["rays_per_s"]
     print(json.dumps({
         "metric": "rays_per_s",
@@ -62,7 +63,7 @@ def main():
             "max_depth": cam.max_depth,
             "elapsed_s": stats["elapsed_s"],
             "paths_per_s": stats["paths_per_s"],
-            "backend": backend,
+            "backend": mode_used,
             "device": str(jax.devices()[0]),
         },
     }))
