@@ -158,7 +158,9 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     n_strata = sqrt_spp * sqrt_spp
     total_items = npix * n_strata
     d1 = cam.max_depth + 1
-    refill = refill_len or 2 * d1
+    # 4x(depth+1) refill measured best on the cornell workload (occupancy
+    # 0.51 vs 0.42 at 2x; the drain tail amortizes over a longer window)
+    refill = refill_len or 4 * d1
     window = refill + d1
     n = n_lanes
     n_u = wavefront.N_FIXED_U + scene.media.count
