@@ -43,11 +43,11 @@ from go_raytracer_tpu.scene import types as T
 @partial(jax.jit, donate_argnums=(2, 3),
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "n_u", "max_contribution",
-                          "use_pallas", "interpret", "cap"))
+                          "use_pallas", "interpret"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill,
-                n_u, max_contribution, use_pallas, interpret, cap):
+                n_u, max_contribution, use_pallas, interpret):
     n = state[0].shape[0]
     dtype = state[0].dtype
 
@@ -66,21 +66,20 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 has_dielectric=scene.has_dielectric, interpret=interpret)
         return wavefront._bounce(scene, o, d, t, alive, u)
 
-    ni_start = next_item
-
     def fwd_step(carry, inputs):
         state, next_item = carry
         step_key, do_refill = inputs
         o, d, t, alive, item_id = state
         k_u, k_rays = jax.random.split(step_key)
 
+        ni_step = next_item  # first item id assigned this step
         dead = ~alive
         # assign queue items to dead lanes (vectorized rank via cumsum);
-        # the per-window cap bounds the harvest write below
+        # takes form a PREFIX of dead lanes, so taken lanes in lane order
+        # map to consecutive items ni_step, ni_step+1, ...
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         item = next_item + rank
-        take = (do_refill & dead & (item < total_items)
-                & (item < ni_start + cap))
+        take = do_refill & dead & (item < total_items)
         stratum = item // npix
         pid = item % npix
         s_i = (stratum // sqrt_spp).astype(dtype)
@@ -100,56 +99,58 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         E = jnp.where(dead2[:, None], 0.0, E)
         W = jnp.where(dead2[:, None], 0.0, W)
         seg = jnp.sum(alive.astype(jnp.int32))
-        rec = (E, W, cf & alive, take, item_id)
+        rec = (E, W, cf & alive, take, ni_step)
         return ((no, nd, t, na, item_id), next_item), (rec, seg)
 
     step_keys = jax.random.split(base_key, window)
     do_refills = jnp.arange(window) < refill
-    (state, next_item), ((Es, Ws, CFs, STs, ITs), segs) = jax.lax.scan(
+    (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
         fwd_step, (state, next_item), (step_keys, do_refills))
 
     # reverse harvest: L = clamp?(E + W*L). TPU scatters serialize
     # (~75ns/row — the original per-step scatter-set was 97% of window
-    # time), so instead each step OUTPUTS (harvest, window-relative slot)
-    # planes; one sort of the window's planes by slot then lands the whole
-    # consumed item range with a single contiguous dynamic-update-slice.
+    # time) and a single global sort of window*N entries is ~2/3 of window
+    # time, so instead: within a step the taken lanes are a PREFIX of dead
+    # lanes in lane order, i.e. already in slot order. A batched per-row
+    # stable sort by the 1-bit started flag compacts each step's harvests
+    # to the row front, and rows land with sequential dynamic-update-slices
+    # at their recorded item bases — later rows' zero padding only ever
+    # overwrites item rows that a later row then fills with real data.
     def rev_step(L, xs):
-        E, W, cf, started, item = xs
+        E, W, cf, started, _ = xs
         raw = E + W * L
         L = jnp.where(cf[:, None],
                       wavefront.clamp_contribution(raw, max_contribution),
                       raw)
-        rel = jnp.where(started, item - ni_start, cap)  # cap = padding key
         harvest = jnp.where(started[:, None], L, 0.0)
         L = jnp.where(started[:, None], 0.0, L)
-        return L, (harvest, rel)
+        return L, (harvest, started)
 
-    _, (Hs, RELs) = jax.lax.scan(
+    _, (Hs, starts) = jax.lax.scan(
         rev_step, jnp.zeros((n, 3), dtype),
-        (Es, Ws, CFs, STs, ITs), reverse=True)
+        (Es, Ws, CFs, STs, NIs), reverse=True)
 
-    flat_rel = RELs.reshape(-1)
-    flat_h = Hs.reshape(-1, 3)
+    keys = jnp.logical_not(starts).astype(jnp.int8)  # started rows first
     _, hr, hg, hb = jax.lax.sort(
-        (flat_rel, flat_h[:, 0], flat_h[:, 1], flat_h[:, 2]), num_keys=1)
-    vals = jnp.stack([hr[:cap], hg[:cap], hb[:cap]], axis=-1)
-    # entries beyond the actually-consumed count are padding; they land on
-    # item rows not yet consumed (overwritten by a later window) or in the
-    # `cap`-row tail pad of acc — never on finished items.
-    acc = jax.lax.dynamic_update_slice(acc, vals, (ni_start, jnp.int32(0)))
+        (keys, Hs[..., 0], Hs[..., 1], Hs[..., 2]),
+        dimension=-1, num_keys=1, is_stable=True)
+    rows = jnp.stack([hr, hg, hb], axis=-1)  # (window, N, 3)
+
+    def write_row(acc_c, xs):
+        row, ni_s = xs
+        return jax.lax.dynamic_update_slice(acc_c, row, (ni_s, jnp.int32(0))), None
+
+    acc, _ = jax.lax.scan(write_row, acc, (rows, NIs))
     return acc, state, next_item, jnp.sum(segs)
 
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 backend: str = "auto", dtype=jnp.float32,
-                 max_items_per_window: int = 0):
+                 backend: str = "auto", dtype=jnp.float32):
     """Render the full image with ray regeneration.
 
     Returns (linear image (H, W, 3), stats). `refill_len` defaults to
-    2*(max_depth+1), giving ~2/3 occupancy-weighted window efficiency.
-    `max_items_per_window` bounds the per-window harvest write (and thus
-    the refill rate); 0 = an ample default.
+    4*(max_depth+1) (measured best on the Cornell workload).
     """
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
@@ -164,8 +165,6 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     window = refill + d1
     n = n_lanes
     n_u = wavefront.N_FIXED_U + scene.media.count
-    cap = max_items_per_window or min(total_items,
-                                      max(1024, n * refill // 2))
 
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
     use_pallas = backend == "pallas" or (
@@ -178,8 +177,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         jnp.zeros((n,), bool),                     # alive
         jnp.zeros((n,), jnp.int32),                # item id
     )
-    # `cap` tail rows absorb the final window's padding writes
-    acc = jnp.zeros((total_items + cap, 3), dtype)
+    # `n_lanes` tail rows absorb the final window's row-padding writes
+    acc = jnp.zeros((total_items + n, 3), dtype)
     next_item = jnp.int32(0)
     segments = 0
     n_windows = 0
@@ -191,7 +190,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
             window=window, refill=refill, n_u=n_u,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
-            interpret=jax.default_backend() != "tpu", cap=cap)
+            interpret=jax.default_backend() != "tpu")
         segments += int(seg)
         n_windows += 1
         if int(next_item) >= total_items:
