@@ -85,6 +85,44 @@ def test_regen_matches_plain_renderer_statistically():
     assert st_r["paths"] == 12 * 12 * 49
 
 
+def test_harvest_slot_routing_with_distinct_values():
+    """Write-ordering discriminator: a wall of 16 distinct emissive patches
+    aligned so every pixel's jittered samples land inside one patch makes
+    the image an exact, RNG-independent 4x4 color pattern. Any bug that
+    routes a harvested path to the wrong item slot scrambles it. Run with
+    tiny lane pools so paths span many windows."""
+    colors = [(0.1 * (i + 1), 0.05 * (i + 1), 1.0 - 0.05 * i)
+              for i in range(16)]
+    b = SceneBuilder(background=(0, 0, 0))
+    # camera: vfov 90, focus 1 -> viewport [-1,1]^2 at z=-1 from origin.
+    # wall quads tile the viewport in a 4x4 grid; 16px image -> each quad
+    # covers exactly 4x4 pixels with boundaries on pixel edges.
+    for gy in range(4):
+        for gx in range(4):
+            x0 = -1.0 + gx * 0.5
+            y0 = 1.0 - (gy + 1) * 0.5  # image row 0 = top
+            q = b.quad((x0, y0, -1.0), (0.5, 0, 0), (0, 0.5, 0),
+                       b.diffuse_light(colors[gy * 4 + gx]))
+            if gx == 0 and gy == 0:
+                b.add_light(q)
+    scene = b.build()
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=3, vertical_fov=90, focus_distance=1.0)
+    cam.position((0, 0, 0), (0, 0, -1))
+
+    expected = np.zeros((16, 16, 3), np.float32)
+    for gy in range(4):
+        for gx in range(4):
+            expected[gy * 4:(gy + 1) * 4, gx * 4:(gx + 1) * 4] = colors[gy * 4 + gx]
+
+    for lanes in (32, 256, 4096):
+        img, st = regen.render_regen(scene, cam, jax.random.key(2),
+                                     n_lanes=lanes, backend="xla")
+        np.testing.assert_allclose(img, expected, atol=1e-5,
+                                   err_msg=f"lanes={lanes}, windows={st['windows']}")
+        assert st["paths"] == 16 * 16 * 4
+
+
 def test_occupancy_beats_plain_wavefront():
     scene = box_scene()
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=16, max_depth=16)
