@@ -10,12 +10,16 @@ path tracing.
 
 Correctness of the per-level firefly clamp (camera.go:330-341) is preserved
 by the same two-pass structure: the forward pass records per-step
-(E, W, clamp?, item, path-start?) planes into a generation window, and a
-reverse scan evaluates L = clamp?(E + W*L_child) per lane. Lane timelines
+(E, W, clamp?, path-start?) planes into a generation window, and a reverse
+scan evaluates L = clamp?(E + W*L_child) per lane. Lane timelines
 concatenate multiple paths; terminal steps have W = 0, which resets the
 recursion across path boundaries. Each path's radiance is harvested into
-its private slot of an item-indexed buffer (collision-free scatter-set);
-the framebuffer is the per-pixel mean over strata at the end.
+its private slot of an item-indexed buffer WITHOUT scatters (TPU scatters
+serialize per-row): refills form a prefix of the dead lanes, so a step's
+started lanes are already in item order — a batched per-row stable sort on
+the 1-bit started flag compacts them, and rows land with sequential
+contiguous dynamic-update-slices at their recorded item bases. The
+framebuffer is the per-pixel mean over strata at the end.
 
 Window structure: `window = refill_len + (max_depth+1)` steps. Refills stop
 after `refill_len`, so every started path completes inside its window and
