@@ -74,10 +74,12 @@ def render(scene: T.Scene, cam: camera_mod.Camera, key: Optional[jax.Array] = No
             radiance, stats = wavefront.radiance(
                 scene, o, d, t, k_path, cam.max_depth, cam.max_contribution,
                 mode=mode, backend=backend)
-            return acc_c.at[ids].add(radiance), segs + stats["segments"]
+            # f32 accumulator: int32 overflows past ~2.1e9 lane-steps on
+            # large renders; stats precision loss is negligible
+            return (acc_c.at[ids].add(radiance),
+                    segs + stats["segments"].astype(jnp.float32))
 
-        return jax.lax.fori_loop(0, n_local, body, (acc, jnp.int64(0) if
-                                 jax.config.jax_enable_x64 else jnp.int32(0)))
+        return jax.lax.fori_loop(0, n_local, body, (acc, jnp.float32(0)))
 
     start_group = 0
     acc = None
