@@ -46,12 +46,12 @@ from go_raytracer_tpu.scene import types as T
 
 @partial(jax.jit, donate_argnums=(2, 3),
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
-                          "window", "refill", "n_u", "max_contribution",
-                          "use_pallas", "interpret"))
+                          "window", "refill", "n_u", "max_depth",
+                          "max_contribution", "use_pallas", "interpret"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill,
-                n_u, max_contribution, use_pallas, interpret):
+                n_u, max_depth, max_contribution, use_pallas, interpret):
     n = state[0].shape[0]
     dtype = state[0].dtype
 
@@ -73,7 +73,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
     def fwd_step(carry, inputs):
         state, next_item = carry
         step_key, do_refill = inputs
-        o, d, t, alive, item_id = state
+        o, d, t, alive, item_id, depth = state
         k_u, k_rays = jax.random.split(step_key)
 
         ni_step = next_item  # first item id assigned this step
@@ -94,6 +94,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         d = jnp.where(take[:, None], d_n, d)
         t = jnp.where(take, t_n, t)
         item_id = jnp.where(take, item, item_id)
+        depth = jnp.where(take, 0, depth)
         alive = alive | take
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
 
@@ -103,8 +104,15 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         E = jnp.where(dead2[:, None], 0.0, E)
         W = jnp.where(dead2[:, None], 0.0, W)
         seg = jnp.sum(alive.astype(jnp.int32))
+        # depth cap (camera.go:293-296): this step is the path's
+        # (depth+1)-th surface interaction; a path receives exactly
+        # max_depth+1 levels, after which its child contributes black —
+        # force-terminate the lane so the reverse scan's freshly reset
+        # L = 0 plays that black child.
+        na = na & (depth < max_depth)
+        depth = jnp.where(alive, depth + 1, depth)
         rec = (E, W, cf & alive, take, ni_step)
-        return ((no, nd, t, na, item_id), next_item), (rec, seg)
+        return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
 
     step_keys = jax.random.split(base_key, window)
     do_refills = jnp.arange(window) < refill
@@ -180,6 +188,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         jnp.zeros((n,), dtype),                    # time
         jnp.zeros((n,), bool),                     # alive
         jnp.zeros((n,), jnp.int32),                # item id
+        jnp.zeros((n,), jnp.int32),                # bounces done this path
     )
     # `n_lanes` tail rows absorb the final window's row-padding writes
     acc = jnp.zeros((total_items + n, 3), dtype)
@@ -192,7 +201,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         acc, state, next_item, seg = _run_window(
             scene, arrays, acc, state, next_item, wkey,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
-            window=window, refill=refill, n_u=n_u,
+            window=window, refill=refill, n_u=n_u, max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
             interpret=jax.default_backend() != "tpu")
         segments += int(seg)

@@ -64,10 +64,10 @@ def texture_value(scene: T.Scene, tex_id: jnp.ndarray, u: jnp.ndarray,
         tb = jnp.zeros(u.shape, dtype=p.dtype)
         for k in range(scene.perlin.count):
             sel = noise_id == k
-            rv, pm = scene.perlin.randvec[k], scene.perlin.perm[k]
-            nz_k = perlin_mod.noise(rv, pm, p * scale[:, None])
+            sd = scene.perlin.seed[k]
+            nz_k = perlin_mod.noise(sd, p * scale[:, None])
             nz = jnp.where(sel & needs_noise, nz_k, nz)
-            tb_k = perlin_mod.turbulence(rv, pm, p)  # unscaled p (texture.go:117-119)
+            tb_k = perlin_mod.turbulence(sd, p)  # unscaled p (texture.go:117-119)
             tb = jnp.where(sel & needs_turb, tb_k, tb)
         gray = jnp.where(
             kind == T.TEX_PERLIN, 0.5 * (1.0 + nz),                # texture.go:115

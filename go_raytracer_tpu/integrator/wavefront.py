@@ -79,7 +79,6 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
 
     # diffuse: 50/50 mixture of light pdf and material pdf (camera.go:319-328,
     # pdf.go:58-74)
-    light_dir = sampling.lights_sample(scene, hit.p, u[:, U_PICK], u[:, U_LA], u[:, U_LB])
     basis = onb.build(hit.normal)
     cos_dir = onb.transform(basis, rng.cosine_direction(u[:, U_MA], u[:, U_MB]))
     if scene.has_isotropic:
@@ -87,14 +86,26 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
         mat_dir = jnp.where(is_iso[:, None], iso_dir, cos_dir)
     else:
         mat_dir = cos_dir
-    gen_dir = jnp.where((u[:, U_MIX] < 0.5)[:, None], light_dir, mat_dir)
-
-    l_pdf = sampling.lights_pdf_value(scene, hit.p, gen_dir)
+    if scene.lights.n > 0:
+        light_dir = sampling.lights_sample(scene, hit.p, u[:, U_PICK],
+                                           u[:, U_LA], u[:, U_LB])
+        gen_dir = jnp.where((u[:, U_MIX] < 0.5)[:, None], light_dir, mat_dir)
+        l_pdf = sampling.lights_pdf_value(scene, hit.p, gen_dir)
+    else:
+        # No lights list: the reference would panic (rand.Intn(0) in
+        # hittable.go:101); for user scenes we degrade to pure material
+        # sampling — gen_dir = mat_dir and pdf collapses to mat_pdf — so
+        # no 0/0 NaN weight poisons half the diffuse samples.
+        gen_dir = mat_dir
+        l_pdf = None
     unit_gen = vm.normalize(gen_dir)
     cos_theta = vm.dot(unit_gen, hit.normal)
     cosine_pdf = jnp.maximum(0.0, cos_theta) / jnp.pi  # pdf.go:33-36
     mat_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf) if scene.has_isotropic else cosine_pdf
-    pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf            # pdf.go:65-67
+    if l_pdf is not None:
+        pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf        # pdf.go:65-67
+    else:
+        pdf_value = mat_pdf
     scatter_pdf = mat_pdf                              # materials.go:51-57,161-163
     # NaN-parity note: pdf_value==0 lanes produce inf/NaN exactly like the
     # reference's 1/pdfValue (camera.go:328); the safe ratio below is only

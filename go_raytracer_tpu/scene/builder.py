@@ -121,7 +121,7 @@ class SceneBuilder:
         """texture.go:88-125; each texture owns fresh Perlin tables
         (texture.go:104-109 -> perlin.go:20-31)."""
         rng = np.random.default_rng(seed) if seed is not None else self._perlin_rng
-        self._perlin.append(perlin_mod.make_tables(rng))
+        self._perlin.append(perlin_mod.make_seed(rng))
         kind = {"perlin": T.TEX_PERLIN, "marble": T.TEX_MARBLE,
                 "turbulent": T.TEX_TURBULENT}[variant]
         return self._add_tex(kind=kind, scale=float(scale),
@@ -416,12 +416,9 @@ class SceneBuilder:
             image_id=i32([r["image_id"] for r in tx]),
         )
 
-        # --- perlin tables
-        pl = self._perlin or [perlin_mod.make_tables(np.random.default_rng(0))]
-        perlin = T.Perlin(
-            randvec=f(np.stack([p[0] for p in pl])),
-            perm=i32(np.stack([p[1] for p in pl])),
-        )
+        # --- perlin seeds
+        pl = self._perlin or [perlin_mod.make_seed(np.random.default_rng(0))]
+        perlin = T.Perlin(seed=jnp.asarray(np.asarray(pl, dtype=np.uint32)))
 
         # --- images, padded to the max extent
         if self._images:

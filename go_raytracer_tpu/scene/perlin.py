@@ -1,38 +1,78 @@
-"""Perlin noise: host-side table generation + device-side evaluation.
+"""Perlin noise: gather-free lattice-gradient noise.
 
-Reference: hittable/perlin.go. Each noise texture owns 256 random unit
-gradient vectors and three independent permutation tables (perlin.go:20-31);
-noise is trilinear Hermitian-smoothed gradient noise (perlin.go:34-54,
-93-111) and turbulence is a 7-octave |sum| (perlin.go:57-69).
+Reference: hittable/perlin.go — 256 random unit gradients addressed through
+three XORed permutation tables (perlin.go:20-31, 34-54), trilinear
+Hermitian-smoothed interpolation (perlin.go:93-111), 7-octave turbulence
+(perlin.go:57-69).
+
+TPU-first redesign: the reference's table gathers are the worst possible
+memory pattern for a TPU (per-ray dynamic gathers serialize, and the XLA
+gather graphs they lower to crashed the v5e worker in round 1 — see
+docs/PERFORMANCE.md). Since the reference seeds its tables from the
+*unseeded* global math/rand (perlin.go:27, 85-90) — so its exact noise
+field differs run-to-run and parity is distributional — we replace the
+table+permutation hash with a counter-based integer hash evaluated inline:
+each lattice corner's gradient is derived arithmetically from (i, j, k,
+texture_seed).  Zero memory traffic, pure VPU arithmetic, identical noise
+statistics (random unit-ish gradients per lattice point; the reference's
+gradients are normalized uniform-cube draws, perlin.go:27, which is exactly
+the distribution the hash reproduces) — and it runs unchanged inside a
+Pallas kernel.
 """
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
-POINT_COUNT = 256
+# lowbias32-style multiplicative mixing constants (public-domain integer
+# hash construction, Wellons 2018) + Weyl-sequence per-axis multipliers
+_MX = np.uint32(0x9E3779B1)
+_MY = np.uint32(0x85EBCA77)
+_MZ = np.uint32(0xC2B2AE3D)
+_F1 = np.uint32(0x7FEB352D)
+_F2 = np.uint32(0x846CA68B)
 
 
-def make_tables(rng: np.random.Generator):
-    """Host-side table generation mirroring NewPerlin (perlin.go:20-31).
-
-    Gradients are uniform unit vectors: the reference draws uniform in
-    [-1,1)^3 and normalizes (perlin.go:27) — a slightly anisotropic
-    distribution; we keep uniform-on-sphere since only the noise statistics
-    matter. Permutations are Fisher-Yates shuffles (perlin.go:85-90).
-    """
-    v = rng.normal(size=(POINT_COUNT, 3))
-    v /= np.linalg.norm(v, axis=-1, keepdims=True)
-    perm = np.stack([rng.permutation(POINT_COUNT) for _ in range(3)]).astype(np.int32)
-    return v.astype(np.float32), perm
+def make_seed(rng: np.random.Generator) -> np.uint32:
+    """Per-texture seed, replacing NewPerlin's fresh tables
+    (texture.go:104-109 -> perlin.go:20-31): distinct seeds give
+    statistically independent noise fields."""
+    return np.uint32(rng.integers(0, 2**32, dtype=np.uint32))
 
 
-def noise(randvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Gradient noise at points p (..., 3) in [-1, 1] (perlin.go:34-54).
+def _hash_corner(i, j, k, seed):
+    """uint32 hash of a lattice corner; plays the role of
+    perm_x[i&255] ^ perm_y[j&255] ^ perm_z[k&255] (perlin.go:45-49)."""
+    h = (i.astype(jnp.uint32) * _MX) ^ (j.astype(jnp.uint32) * _MY) \
+        ^ (k.astype(jnp.uint32) * _MZ) ^ seed
+    h = h ^ (h >> np.uint32(16))
+    h = h * _F1
+    h = h ^ (h >> np.uint32(15))
+    h = h * _F2
+    h = h ^ (h >> np.uint32(16))
+    return h
 
-    randvec: (256, 3), perm: (3, 256).
-    """
+
+def _gradient(i, j, k, seed, dtype):
+    """Unit gradient at a lattice corner: three 10-bit hash fields mapped
+    to [-1, 1)^3 then normalized — the reference's vec.Random(-1,1) +
+    UnitVector construction (perlin.go:27), hash-indexed instead of
+    table-indexed."""
+    h = _hash_corner(i, j, k, seed)
+    ten = np.uint32(0x3FF)
+    gx = (h & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
+    gy = ((h >> np.uint32(10)) & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
+    gz = ((h >> np.uint32(20)) & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
+    inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    return gx * inv, gy * inv, gz * inv
+
+
+def noise(seed, p: jnp.ndarray) -> jnp.ndarray:
+    """Gradient noise at points p (..., 3), in [-1, 1] (perlin.go:34-54):
+    Hermitian-smoothed trilinear interpolation of corner-gradient dots."""
+    dtype = p.dtype
     fl = jnp.floor(p)
     uvw = p - fl
     ijk = fl.astype(jnp.int32)
@@ -40,35 +80,31 @@ def noise(randvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarra
     # Hermitian smoothing (perlin.go:96-98)
     sm = uvw * uvw * (3.0 - 2.0 * uvw)
 
-    acc = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    px, py, pz = perm[0], perm[1], perm[2]
+    acc = jnp.zeros(p.shape[:-1], dtype=dtype)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                idx = (
-                    px[(ijk[..., 0] + di) & 255]
-                    ^ py[(ijk[..., 1] + dj) & 255]
-                    ^ pz[(ijk[..., 2] + dk) & 255]
-                )
-                c = randvec[idx]  # (..., 3)
-                weight_v = uvw - jnp.asarray([di, dj, dk], dtype=p.dtype)
+                gx, gy, gz = _gradient(ijk[..., 0] + di, ijk[..., 1] + dj,
+                                       ijk[..., 2] + dk, seed, dtype)
+                wx = uvw[..., 0] - di
+                wy = uvw[..., 1] - dj
+                wz = uvw[..., 2] - dk
                 w = (
                     (di * sm[..., 0] + (1 - di) * (1.0 - sm[..., 0]))
                     * (dj * sm[..., 1] + (1 - dj) * (1.0 - sm[..., 1]))
                     * (dk * sm[..., 2] + (1 - dk) * (1.0 - sm[..., 2]))
                 )
-                acc = acc + w * jnp.sum(c * weight_v, axis=-1)
+                acc = acc + w * (gx * wx + gy * wy + gz * wz)
     return acc
 
 
-def turbulence(randvec: jnp.ndarray, perm: jnp.ndarray, p: jnp.ndarray,
-               depth: int = 7) -> jnp.ndarray:
+def turbulence(seed, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray:
     """7-octave turbulence (perlin.go:57-69)."""
     acc = jnp.zeros(p.shape[:-1], dtype=p.dtype)
     weight = 1.0
     tp = p
     for _ in range(depth):
-        acc = acc + weight * noise(randvec, perm, tp)
+        acc = acc + weight * noise(seed, tp)
         weight *= 0.5
         tp = tp * 2.0
     return jnp.abs(acc)

@@ -174,15 +174,15 @@ class Textures:
 
 @struct.dataclass
 class Perlin:
-    """Per-noise-texture Perlin tables (hittable/perlin.go:10-31): 256
-    random unit gradients and three permutation tables each."""
+    """Per-noise-texture seeds for the gather-free hash-gradient noise
+    (scene/perlin.py, replacing hittable/perlin.go:10-31's tables — see
+    that module's docstring for the TPU rationale)."""
 
-    randvec: jnp.ndarray  # (P, 256, 3)
-    perm: jnp.ndarray     # (P, 3, 256) int32
+    seed: jnp.ndarray  # (P,) uint32
 
     @property
     def count(self) -> int:
-        return self.randvec.shape[0]
+        return self.seed.shape[0]
 
 
 @struct.dataclass

@@ -87,8 +87,8 @@ def book2(seed: int = 0):
     # water orb: dielectric boundary + interior medium (main.go:134-136)
     b.sphere((360, 150, 145), 70, b.dielectric(1.5))
     b.constant_medium_sphere((360, 150, 145), 70, 0.2, albedo=(0.2, 0.4, 0.9))
-    # global fog (main.go:139-140) — boundary sphere is itself in the world
-    b.sphere((0, 0, 0), 5000, b.dielectric(1.5))
+    # global fog (main.go:139-140) — unlike the water orb, the fog's
+    # boundary sphere is NOT itself added to the world; only the medium is
     b.constant_medium_sphere((0, 0, 0), 5000, 0.0001, albedo=(1, 1, 1))
 
     earth_tex = b.image_texture(assets.load_image("earthmap.jpg"))

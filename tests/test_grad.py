@@ -58,8 +58,10 @@ def test_grad_background():
     key = jax.random.key(3)
     f = lambda p: _render_mean(scene, p, key)
     g = jax.grad(f)(params)
-    # some camera rays miss or paths escape: background gradient nonzero
-    assert float(jnp.abs(g["background"]).sum()) >= 0.0
+    # paths that bounce off the finite ground quad and escape carry
+    # nonzero throughput into the background term, so the gradient is
+    # strictly positive in every channel
+    assert float(jnp.abs(g["background"]).min()) > 1e-6
     assert bool(jnp.isfinite(g["background"]).all())
 
 

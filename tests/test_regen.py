@@ -123,6 +123,65 @@ def test_harvest_slot_routing_with_distinct_values():
         assert st["paths"] == 16 * 16 * 4
 
 
+def mirror_corridor():
+    """Deterministic 3-level path: camera -> 45-degree mirror A (up) ->
+    45-degree mirror B (toward +x) -> emissive wall. Perfect mirrors
+    (fuzz 0) make the radiance RNG-independent: exactly (2,3,4) when
+    max_depth >= 2, exactly 0 when max_depth < 2 (camera.go:293-296 gives
+    max_depth+1 surface interactions)."""
+    b = SceneBuilder(background=(0, 0, 0))
+    mirror = b.metal((1.0, 1.0, 1.0), 0.0)
+    b.quad((-2, -1.41421356, -0.58578644), (4, 0, 0),
+           (0, 2.82842712, -2.82842712), mirror)           # A at (0,0,-2)
+    b.quad((-1.41421356, 0.58578644, 0), (0, 0, -4),
+           (2.82842712, 2.82842712, 0), mirror)            # B at (0,2,-2)
+    lq = b.quad((5, 0, -4), (0, 0, 4), (0, 4, 0), b.diffuse_light((2, 3, 4)))
+    b.add_light(lq)
+    return b.build()
+
+
+@pytest.mark.parametrize("lanes", [64, 1024])
+def test_regen_enforces_max_depth(lanes):
+    """The regen queue must give each path exactly max_depth+1 levels like
+    the wavefront: at max_depth=1 the corridor's light is unreachable (a
+    lane that kept bouncing past its budget would see it)."""
+    scene = mirror_corridor()
+    cam = Camera(width=4, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=1, vertical_fov=2.0, focus_distance=1.0)
+    cam.position((0, 0, 0), (0, 0, -1))
+    img, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                 n_lanes=lanes, backend="xla")
+    np.testing.assert_allclose(img, 0.0, atol=1e-6)
+    # each path = exactly 2 levels (mirror A, then forced-black child)
+    assert st["segments"] == 4 * 4 * 4 * 2
+
+    cam.max_depth = 2
+    img2, st2 = regen.render_regen(scene, cam, jax.random.key(0),
+                                   n_lanes=lanes, backend="xla")
+    np.testing.assert_allclose(
+        img2, np.broadcast_to([2.0, 3.0, 4.0], img2.shape), atol=1e-5)
+    assert st2["segments"] == 4 * 4 * 4 * 3
+
+
+def test_regen_matches_wavefront_mean_at_small_depth():
+    """Statistical regen-vs-wavefront agreement at max_depth 1 and 2 in a
+    bright closed scene — the configuration where the round-1 missing
+    depth cap inflated regen ~12% (ADVICE.md item 1)."""
+    scene = box_scene()
+    for depth in (1, 2):
+        cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=100,
+                     max_depth=depth)
+        cam.position((0, 2, 6), (0, 1, 0))
+        img_r, _ = regen.render_regen(scene, cam, jax.random.key(21),
+                                      n_lanes=2048, backend="xla")
+        img_p, _ = renderer.render(scene, cam, key=jax.random.key(22),
+                                   mode="scan", backend="xla")
+        m_r = img_r.mean(axis=(0, 1))
+        m_p = img_p.mean(axis=(0, 1))
+        np.testing.assert_allclose(m_r, m_p, rtol=0.04, atol=2e-3,
+                                   err_msg=f"depth={depth}")
+
+
 def test_occupancy_beats_plain_wavefront():
     scene = box_scene()
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=16, max_depth=16)

@@ -37,7 +37,9 @@ def test_book1_tables():
 def test_book2_tables():
     scene, cam = registry.book2(seed=3)
     assert scene.quads.count == 20 * 20 * 6 + 1  # floor boxes + light
-    assert scene.spheres.count == 1000 + 7  # cluster + 7 feature/boundary spheres
+    # cluster + 6 feature/boundary spheres (the global fog's 5000-radius
+    # boundary is NOT in the world — main.go:139-140 adds only the medium)
+    assert scene.spheres.count == 1000 + 6
     assert scene.media.count == 2
     assert scene.has_image and scene.has_noise
 

@@ -96,15 +96,39 @@ def test_noise_turbulent_nonnegative():
 
 
 def test_perlin_noise_is_smooth():
-    rv, perm = perlin_mod.make_tables(np.random.default_rng(5))
-    rv = jnp.asarray(rv)
-    perm = jnp.asarray(perm)
+    seed = perlin_mod.make_seed(np.random.default_rng(5))
     p = jnp.asarray([[0.3, 0.4, 0.5]])
     eps = 1e-3
     p2 = p + jnp.asarray([[eps, 0, 0]])
-    n1 = float(perlin_mod.noise(rv, perm, p)[0])
-    n2 = float(perlin_mod.noise(rv, perm, p2)[0])
+    n1 = float(perlin_mod.noise(seed, p)[0])
+    n2 = float(perlin_mod.noise(seed, p2)[0])
     assert abs(n1 - n2) < 0.05  # continuous in space
+
+
+def test_perlin_gradients_are_unit_and_hash_deterministic():
+    """Corner gradients are unit vectors (perlin.go:27 normalizes) and the
+    hash is a pure function of (corner, seed)."""
+    i = jnp.arange(-50, 50, dtype=jnp.int32)
+    g = perlin_mod._gradient(i, i * 3 + 1, -i, np.uint32(123), jnp.float32)
+    norm = np.sqrt(np.asarray(g[0])**2 + np.asarray(g[1])**2 + np.asarray(g[2])**2)
+    np.testing.assert_allclose(norm, 1.0, atol=1e-4)
+    g2 = perlin_mod._gradient(i, i * 3 + 1, -i, np.uint32(123), jnp.float32)
+    for a, b2 in zip(g, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    # different seed -> different field
+    g3 = perlin_mod._gradient(i, i * 3 + 1, -i, np.uint32(77), jnp.float32)
+    assert not np.allclose(np.asarray(g[0]), np.asarray(g3[0]))
+
+
+def test_perlin_noise_statistics_match_reference_class():
+    """Distributional parity with perlin.go:34-54: zero-mean, bounded,
+    non-degenerate variance over a large sample of points."""
+    seed = perlin_mod.make_seed(np.random.default_rng(9))
+    p = jnp.asarray(np.random.default_rng(4).uniform(-20, 20, (20000, 3)))
+    n = np.asarray(perlin_mod.noise(seed, p))
+    assert abs(n.mean()) < 0.02
+    assert 0.05 < n.std() < 0.5
+    assert np.all(np.abs(n) <= 1.0 + 1e-5)
 
 
 def test_distinct_noise_textures_have_distinct_tables():
