@@ -59,16 +59,47 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
 
         prims, lights_packed = pallas_bounce.pack_scene(scene)
+        cam_row = pallas_bounce.pack_camera(arrays)
 
-    def do_bounce(o, d, t, alive, u):
-        if use_pallas:
-            return pallas_bounce.bounce(
-                prims, lights_packed, o, d, t, alive,
-                u[:, :pallas_bounce.N_U], scene.background,
-                n_prims=prims.shape[0], n_lights=lights_packed.shape[0],
-                n_lights_live=scene.lights.n, has_metal=scene.has_metal,
-                has_dielectric=scene.has_dielectric, interpret=interpret)
-        return wavefront._bounce(scene, o, d, t, alive, u)
+    def refill_assign(next_item, alive, do_refill):
+        """Queue items -> dead lanes (vectorized rank via cumsum); takes
+        form a PREFIX of dead lanes, so taken lanes in lane order map to
+        consecutive items next_item, next_item+1, ..."""
+        dead = ~alive
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        item = next_item + rank
+        take = do_refill & dead & (item < total_items)
+        stratum = item // npix
+        pid = item % npix
+        s_i = (stratum // sqrt_spp).astype(dtype)
+        s_j = (stratum % sqrt_spp).astype(dtype)
+        return take, item, pid, s_i, s_j
+
+    def fwd_step_fused(carry, inputs):
+        """Whole step in one kernel: PRNG, camera ray-gen, bounce, depth
+        cap (ops/pallas/bounce.bounce_fused). XLA keeps only the integer
+        queue bookkeeping."""
+        state, next_item = carry
+        seed_i32, do_refill = inputs
+        o, d, t, alive, item_id, depth = state
+        ni_step = next_item
+        take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
+        pi = (pid % width).astype(dtype)
+        pj = (pid // width).astype(dtype)
+        E, W, cf, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
+            prims, lights_packed, cam_row, scene.background, seed_i32,
+            o, d, t, alive.astype(jnp.int32), depth,
+            take.astype(jnp.int32), pi, pj, s_i, s_j,
+            n_prims=prims.shape[0], n_lights=lights_packed.shape[0],
+            n_lights_live=scene.lights.n, has_metal=scene.has_metal,
+            has_dielectric=scene.has_dielectric,
+            has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
+            interpret=interpret)
+        item_id = jnp.where(take, item, item_id)
+        next_item = next_item + jnp.sum(take.astype(jnp.int32))
+        seg = jnp.sum((alive | take).astype(jnp.int32))
+        rec = (E, W, cf, take, ni_step)
+        return ((no, nd, ntm, alive2 > 0, item_id, depth2), next_item), (rec, seg)
 
     def fwd_step(carry, inputs):
         state, next_item = carry
@@ -77,17 +108,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         k_u, k_rays = jax.random.split(step_key)
 
         ni_step = next_item  # first item id assigned this step
-        dead = ~alive
-        # assign queue items to dead lanes (vectorized rank via cumsum);
-        # takes form a PREFIX of dead lanes, so taken lanes in lane order
-        # map to consecutive items ni_step, ni_step+1, ...
-        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-        item = next_item + rank
-        take = do_refill & dead & (item < total_items)
-        stratum = item // npix
-        pid = item % npix
-        s_i = (stratum // sqrt_spp).astype(dtype)
-        s_j = (stratum % sqrt_spp).astype(dtype)
+        take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
         o_n, d_n, t_n = camera_mod.generate_rays(
             arrays, width, pid, s_i, s_j, k_rays, dtype=dtype)
         o = jnp.where(take[:, None], o_n, o)
@@ -99,7 +120,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
 
         u = jax.random.uniform(k_u, (n, n_u), dtype=dtype)
-        E, W, cf, no, nd, na = do_bounce(o, d, t, alive, u)
+        E, W, cf, no, nd, na = wavefront._bounce(scene, o, d, t, alive, u)
         dead2 = ~alive
         E = jnp.where(dead2[:, None], 0.0, E)
         W = jnp.where(dead2[:, None], 0.0, W)
@@ -114,10 +135,16 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rec = (E, W, cf & alive, take, ni_step)
         return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
 
-    step_keys = jax.random.split(base_key, window)
     do_refills = jnp.arange(window) < refill
-    (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
-        fwd_step, (state, next_item), (step_keys, do_refills))
+    if use_pallas:
+        seeds = jax.random.randint(base_key, (window,), jnp.iinfo(jnp.int32).min,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
+            fwd_step_fused, (state, next_item), (seeds, do_refills))
+    else:
+        step_keys = jax.random.split(base_key, window)
+        (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
+            fwd_step, (state, next_item), (step_keys, do_refills))
 
     # reverse harvest: L = clamp?(E + W*L). TPU scatters serialize
     # (~75ns/row — the original per-step scatter-set was 97% of window
@@ -179,8 +206,9 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     n_u = wavefront.N_FIXED_U + scene.media.count
 
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+    # the fused kernel tiles lanes as (32, 128) blocks
     use_pallas = backend == "pallas" or (
-        backend == "auto" and pallas_bounce.supported(scene) and n % 128 == 0)
+        backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
 
     state = (
         jnp.zeros((n, 3), dtype),                  # o

@@ -189,24 +189,15 @@ def _onb_transform(nx, ny, nz, lx, ly, lz):
             lx * uz + ly * vz + lz * wz)
 
 
-def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
-                   has_dielectric,
-                   prim_ref, light_ref, bg_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   time_ref, alive_ref,
-                   u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
-                   u6_ref, u7_ref, u8_ref,
-                   # outputs
-                   er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
-                   cf_ref, nox_ref, noy_ref, noz_ref,
-                   ndx_ref, ndy_ref, ndz_ref, alive_out_ref):
+def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
+                 prim_ref, light_ref, bg,
+                 ox, oy, oz, dx, dy, dz, tm, alive, u):
+    """Shared bounce body over (R, 128) value planes: closest hit, shading,
+    mixture sampling — the whole of camera.go:293-331's per-level work.
+    `u` is a list of N_U uniform planes (threefry-fed in `bounce`,
+    in-kernel PRNG in `bounce_fused`). Returns value planes."""
     f32 = jnp.float32
     INF = jnp.asarray(jnp.inf, f32)
-    bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    tm = time_ref[:]
-    alive = alive_ref[:] > 0
 
     a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
 
@@ -330,9 +321,6 @@ def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
     er = jnp.where(miss, bg[0], jnp.where(e_on, tex_r, 0.0))
     eg = jnp.where(miss, bg[1], jnp.where(e_on, tex_g, 0.0))
     eb = jnp.where(miss, bg[2], jnp.where(e_on, tex_b, 0.0))
-
-    u = [r[:] for r in (u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
-                        u6_ref, u7_ref, u8_ref)]
 
     # ---- diffuse mixture sampling (pdf.go:58-74) ------------------------
     # light pick + per-kind sample (hittable.go:98-103, objects.go:63-80,161-165)
@@ -488,20 +476,54 @@ def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
 
     dead = ~alive
     zero = jnp.zeros_like(ox)
-    er_ref[:] = jnp.where(dead, zero, er)
-    eg_ref[:] = jnp.where(dead, zero, eg)
-    eb_ref[:] = jnp.where(dead, zero, eb)
-    wr_ref[:] = jnp.where(dead, zero, wr)
-    wg_ref[:] = jnp.where(dead, zero, wg)
-    wb_ref[:] = jnp.where(dead, zero, wb)
-    cf_ref[:] = (diffuse & alive).astype(jnp.int32)
-    nox_ref[:] = jnp.where(lit, hx, ox)
-    noy_ref[:] = jnp.where(lit, hy, oy)
-    noz_ref[:] = jnp.where(lit, hz, oz)
+    er = jnp.where(dead, zero, er)
+    eg = jnp.where(dead, zero, eg)
+    eb = jnp.where(dead, zero, eb)
+    wr = jnp.where(dead, zero, wr)
+    wg = jnp.where(dead, zero, wg)
+    wb = jnp.where(dead, zero, wb)
+    cf = diffuse & alive
+    nox = jnp.where(lit, hx, ox)
+    noy = jnp.where(lit, hy, oy)
+    noz = jnp.where(lit, hz, oz)
+    alive_out = is_metal | is_diel | diffuse
+    return (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+            alive_out)
+
+
+def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
+                   has_dielectric,
+                   prim_ref, light_ref, bg_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   time_ref, alive_ref,
+                   u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
+                   u6_ref, u7_ref, u8_ref,
+                   # outputs
+                   er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
+                   cf_ref, nox_ref, noy_ref, noz_ref,
+                   ndx_ref, ndy_ref, ndz_ref, alive_out_ref):
+    bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
+    u = [r[:] for r in (u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
+                        u6_ref, u7_ref, u8_ref)]
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
+        _bounce_core(n_prims, n_lights, n_lights_live, has_metal,
+                     has_dielectric, prim_ref, light_ref, bg,
+                     ox_ref[:], oy_ref[:], oz_ref[:],
+                     dx_ref[:], dy_ref[:], dz_ref[:],
+                     time_ref[:], alive_ref[:] > 0, u)
+    er_ref[:] = er
+    eg_ref[:] = eg
+    eb_ref[:] = eb
+    wr_ref[:] = wr
+    wg_ref[:] = wg
+    wb_ref[:] = wb
+    cf_ref[:] = cf.astype(jnp.int32)
+    nox_ref[:] = nox
+    noy_ref[:] = noy
+    noz_ref[:] = noz
     ndx_ref[:] = ndx
     ndy_ref[:] = ndy
     ndz_ref[:] = ndz
-    alive_out = is_metal | is_diel | diffuse
     alive_out_ref[:] = alive_out.astype(jnp.int32)
 
 
@@ -570,3 +592,196 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
     return E, W, unp(cf) > 0, new_o, new_d, unp(alive2) > 0
+
+
+# ---------------------------------------------------------------------------
+# Fused regeneration step: in-kernel PRNG + camera ray-gen + bounce + depth
+# cap in ONE kernel — the per-step XLA glue (threefry streams, ray-gen
+# fusions, select chains) around the round-1 kernel was ~60% of forward
+# time (docs/PERFORMANCE.md "final-trace breakdown").
+# ---------------------------------------------------------------------------
+
+# raygen consumes 5 uniforms (jitter x/y, defocus a/b, time; camera.go:256-268)
+N_U_RAYGEN = 5
+
+
+def _mix32(x):
+    """lowbias32 finalizer (public-domain integer hash, Wellons): full
+    avalanche on 32 bits with fixed shifts only — identical semantics in
+    Mosaic and interpret mode (pltpu.prng_* has no CPU lowering)."""
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x7FEB352D)
+    x = x ^ (x >> np.uint32(15))
+    x = x * np.uint32(0x846CA68B)
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
+def _u01(lane_u32, seed_u32, slot: int):
+    """Counter-based U[0,1): hash(lane, step seed, slot) -> 23-bit mantissa
+    via the exponent trick (bits -> [1,2) -> subtract 1). A pure function,
+    so renders are reproducible across backends and restarts."""
+    x = lane_u32 ^ (seed_u32 * np.uint32(0x9E3779B9)) \
+        ^ np.uint32((slot * 0x632BE5AB) & 0xFFFFFFFF)
+    bits = _mix32(x)
+    f = jax.lax.bitcast_convert_type(
+        (bits >> np.uint32(9)) | np.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _fused_kernel(n_prims, n_lights, n_lights_live, has_metal,
+                  has_dielectric, has_defocus, max_depth,
+                  prim_ref, light_ref, cam_ref, bg_ref, seed_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  time_ref, alive_ref, depth_ref,
+                  take_ref, pi_ref, pj_ref, si_ref, sj_ref,
+                  # outputs
+                  er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref, cf_ref,
+                  nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
+                  ntm_ref, alive_out_ref, depth_out_ref):
+    # distinct stream per (step seed, global lane)
+    shape = ox_ref.shape
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + pl.program_id(0).astype(jnp.uint32)
+            * np.uint32(shape[0] * LANE))
+    seed = seed_ref[0].astype(jnp.uint32)
+    u01 = lambda slot: _u01(lane, seed, slot)
+    take = take_ref[:] > 0
+
+    # ---- camera ray generation for refilled lanes (camera.go:256-270) ----
+    cam = cam_ref  # (1, 20): pixel00 du dv center dfu dfv recip_sqrt
+    u_jx = u01(0)
+    u_jy = u01(1)
+    recip = cam[0, 18]
+    off_x = (si_ref[:] + u_jx) * recip - 0.5
+    off_y = (sj_ref[:] + u_jy) * recip - 0.5
+    px = pi_ref[:] + off_x
+    py = pj_ref[:] + off_y
+    sx = cam[0, 0] + px * cam[0, 3] + py * cam[0, 6]
+    sy = cam[0, 1] + px * cam[0, 4] + py * cam[0, 7]
+    sz = cam[0, 2] + px * cam[0, 5] + py * cam[0, 8]
+    if has_defocus:
+        u_da = u01(2)
+        u_db = u01(3)
+        r_d = jnp.sqrt(u_da)
+        phi_d = (2.0 * math.pi) * u_db
+        da = r_d * jnp.cos(phi_d)
+        db = r_d * jnp.sin(phi_d)
+        cx = cam[0, 9] + da * cam[0, 12] + db * cam[0, 15]
+        cy = cam[0, 10] + da * cam[0, 13] + db * cam[0, 16]
+        cz = cam[0, 11] + da * cam[0, 14] + db * cam[0, 17]
+    else:
+        cx = cam[0, 9] + jnp.zeros_like(sx)
+        cy = cam[0, 10] + jnp.zeros_like(sx)
+        cz = cam[0, 11] + jnp.zeros_like(sx)
+    u_t = u01(4)
+
+    ox = jnp.where(take, cx, ox_ref[:])
+    oy = jnp.where(take, cy, oy_ref[:])
+    oz = jnp.where(take, cz, oz_ref[:])
+    dx = jnp.where(take, sx - cx, dx_ref[:])
+    dy = jnp.where(take, sy - cy, dy_ref[:])
+    dz = jnp.where(take, sz - cz, dz_ref[:])
+    tm = jnp.where(take, u_t, time_ref[:])
+    alive = (alive_ref[:] > 0) | take
+    depth = jnp.where(take, 0, depth_ref[:])
+
+    u = [u01(N_U_RAYGEN + k) for k in range(N_U)]
+    bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
+        _bounce_core(n_prims, n_lights, n_lights_live, has_metal,
+                     has_dielectric, prim_ref, light_ref, bg,
+                     ox, oy, oz, dx, dy, dz, tm, alive, u)
+
+    # depth cap (camera.go:293-296): level depth+1 was just recorded; a path
+    # gets exactly max_depth+1 levels
+    alive_out = alive_out & (depth < max_depth)
+    depth = jnp.where(alive, depth + 1, depth)
+
+    er_ref[:] = er
+    eg_ref[:] = eg
+    eb_ref[:] = eb
+    wr_ref[:] = wr
+    wg_ref[:] = wg
+    wb_ref[:] = wb
+    cf_ref[:] = cf.astype(jnp.int32)
+    nox_ref[:] = nox
+    noy_ref[:] = noy
+    noz_ref[:] = noz
+    ndx_ref[:] = ndx
+    ndy_ref[:] = ndy
+    ndz_ref[:] = ndz
+    ntm_ref[:] = tm
+    alive_out_ref[:] = alive_out.astype(jnp.int32)
+    depth_out_ref[:] = depth
+
+
+def pack_camera(arrays) -> jnp.ndarray:
+    """Flatten CameraArrays to the fused kernel's (1, 20) row."""
+    return jnp.concatenate([
+        arrays.pixel00, arrays.du, arrays.dv, arrays.center,
+        arrays.defocus_u, arrays.defocus_v,
+        jnp.asarray([arrays.recip_spp_sqrt, 0.0], jnp.float32),
+    ]).astype(jnp.float32).reshape(1, 20)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_prims", "n_lights", "n_lights_live", "has_metal", "has_dielectric",
+    "has_defocus", "max_depth", "interpret"))
+def bounce_fused(prims, lights, cam_row, bg, seed,
+                 o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                 *, n_prims, n_lights, n_lights_live, has_metal,
+                 has_dielectric, has_defocus, max_depth, interpret=False):
+    """One fused regeneration step. All lane arrays are (N,) / (N,3) with
+    N a multiple of TILE_ROWS*128 (the regen pool is sized accordingly).
+
+    Returns (E, W, cf, new_o, new_d, new_time, alive', depth')."""
+    n = o.shape[0]
+    TILE_ROWS = 32
+    assert n % (TILE_ROWS * LANE) == 0, n
+    rows = n // LANE
+    shape = (rows, LANE)
+    plane = lambda x: x.reshape(rows, LANE)
+    state_planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+                    plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+                    plane(time), plane(alive_i32), plane(depth)]
+    refill_planes = [plane(take_i32), plane(pi), plane(pj),
+                     plane(si), plane(sj)]
+
+    kernel = functools.partial(_fused_kernel, n_prims, n_lights,
+                               n_lights_live, has_metal, has_dielectric,
+                               has_defocus, max_depth)
+
+    grid = (rows // TILE_ROWS,)
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    in_specs = ([table_spec(prims), table_spec(lights),
+                 pl.BlockSpec((1, 20), lambda i: (0, 0)),
+                 pl.BlockSpec((1, 3), lambda i: (0, 0)),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [row_spec] * (9 + 5))
+    f32 = jnp.float32
+    out_dtypes = [f32] * 6 + [jnp.int32] + [f32] * 7 + [jnp.int32] * 2
+    out_specs = [row_spec] * 16
+    out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(prims, lights, cam_row, bg.reshape(1, 3).astype(f32),
+      seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
+
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, ntm,
+     alive2, depth2) = outs
+    unp = lambda x: x.reshape(n)
+    E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
+    W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
+    new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
+    new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
+    return (E, W, unp(cf) > 0, new_o, new_d, unp(ntm), unp(alive2),
+            unp(depth2))

@@ -182,6 +182,57 @@ def test_regen_matches_wavefront_mean_at_small_depth():
                                    err_msg=f"depth={depth}")
 
 
+def test_fused_kernel_exact_accounting():
+    """backend='pallas' routes through the fused megakernel (in-kernel
+    PRNG + camera ray-gen + bounce). With an all-miss scene the image is
+    exactly the background whatever the RNG does — a strict check of the
+    fused queue bookkeeping."""
+    scene = empty_scene(bg=(0.25, 0.5, 0.75))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    img, stats = regen.render_regen(scene, cam, jax.random.key(0),
+                                    n_lanes=4096, backend="pallas")
+    np.testing.assert_allclose(img[..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(img[..., 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], 0.75, atol=1e-6)
+    assert stats["paths"] == 16 * 16 * 9
+    assert stats["segments"] == 16 * 16 * 9
+
+
+def test_fused_kernel_enforces_max_depth():
+    """In-kernel depth cap: the mirror corridor is exactly reproducible
+    (see test_regen_enforces_max_depth) through the fused path too."""
+    scene = mirror_corridor()
+    cam = Camera(width=4, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=1, vertical_fov=2.0, focus_distance=1.0)
+    cam.position((0, 0, 0), (0, 0, -1))
+    img, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                 n_lanes=4096, backend="pallas")
+    np.testing.assert_allclose(img, 0.0, atol=1e-6)
+    assert st["segments"] == 4 * 4 * 4 * 2
+    cam.max_depth = 2
+    img2, st2 = regen.render_regen(scene, cam, jax.random.key(0),
+                                   n_lanes=4096, backend="pallas")
+    np.testing.assert_allclose(
+        img2, np.broadcast_to([2.0, 3.0, 4.0], img2.shape), atol=1e-5)
+    assert st2["segments"] == 4 * 4 * 4 * 3
+
+
+def test_fused_kernel_matches_xla_statistically():
+    """Fused-megakernel renders agree with the XLA regen path within MC
+    noise (different RNG streams, same expected image)."""
+    scene = box_scene()
+    cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=64, max_depth=6)
+    cam.position((0, 2, 6), (0, 1, 0))
+    img_f, _ = regen.render_regen(scene, cam, jax.random.key(31),
+                                  n_lanes=4096, backend="pallas")
+    img_x, _ = regen.render_regen(scene, cam, jax.random.key(32),
+                                  n_lanes=4096, backend="xla")
+    m_f = img_f.mean(axis=(0, 1))
+    m_x = img_x.mean(axis=(0, 1))
+    np.testing.assert_allclose(m_f, m_x, rtol=0.06, atol=3e-3)
+
+
 def test_occupancy_beats_plain_wavefront():
     scene = box_scene()
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=16, max_depth=16)
