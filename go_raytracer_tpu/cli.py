@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--regen", action="store_true",
                     help="use the ray-regeneration integrator (experimental)")
     ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
+    ap.add_argument("--lanes", type=int, default=1 << 17,
+                    help="regen lane-pool size (multiple of 4096)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")
@@ -86,7 +88,8 @@ def main(argv=None):
         import numpy as np
 
         linear, stats = regen_mod.render_regen(
-            scene, cam, jax.random.key(args.seed), backend=args.backend)
+            scene, cam, jax.random.key(args.seed), n_lanes=args.lanes,
+            backend=args.backend)
         film.write_image(args.out, np.asarray(film.tonemap(jnp.asarray(linear))))
     else:
         stats = renderer.render_to_file(

@@ -58,7 +58,8 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
     if use_pallas:
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
 
-        prims, lights_packed = pallas_bounce.pack_scene(scene)
+        tables = pallas_bounce.pack_scene(scene)
+        statics = pallas_bounce.scene_statics(scene)
         cam_row = pallas_bounce.pack_camera(arrays)
 
     def refill_assign(next_item, alive, do_refill):
@@ -87,12 +88,9 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         pi = (pid % width).astype(dtype)
         pj = (pid // width).astype(dtype)
         E, W, cf, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
-            prims, lights_packed, cam_row, scene.background, seed_i32,
+            tables, statics, cam_row, scene.background, seed_i32,
             o, d, t, alive.astype(jnp.int32), depth,
             take.astype(jnp.int32), pi, pj, s_i, s_j,
-            n_prims=prims.shape[0], n_lights=lights_packed.shape[0],
-            n_lights_live=scene.lights.n, has_metal=scene.has_metal,
-            has_dielectric=scene.has_dielectric,
             has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
             interpret=interpret)
         item_id = jnp.where(take, item, item_id)

@@ -170,22 +170,16 @@ def radiance(scene: T.Scene, o, d, time, key, max_depth: int,
     dtype = o.dtype
 
     if use_pallas:
-        prims, lights_packed = pallas_bounce.pack_scene(scene)
-        n_prims = prims.shape[0]
-        n_lights = lights_packed.shape[0]
+        tables = pallas_bounce.pack_scene(scene)
+        statics = pallas_bounce.scene_statics(scene)
 
     def fwd_step(carry, step_key):
         o_c, d_c, t_c, alive_c = carry
         u = jax.random.uniform(step_key, (n, n_u), dtype=dtype)
         if use_pallas:
             E, W, cf, no, nd, na = pallas_bounce.bounce(
-                prims, lights_packed, o_c, d_c, t_c, alive_c,
-                u[:, :pallas_bounce.N_U], scene.background,
-                n_prims=n_prims, n_lights=n_lights,
-                n_lights_live=scene.lights.n,
-                has_metal=scene.has_metal,
-                has_dielectric=scene.has_dielectric,
-                interpret=interpret)
+                tables, statics, o_c, d_c, t_c, alive_c, u,
+                scene.background, interpret=interpret)
         else:
             E, W, cf, no, nd, na = _bounce(scene, o_c, d_c, t_c, alive_c, u)
         dead = ~alive_c

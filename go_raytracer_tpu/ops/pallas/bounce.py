@@ -3,30 +3,43 @@
 The XLA wavefront bounce (integrator/wavefront.py:_bounce + ops/trace.py)
 lowers to tens of small kernels per step; at wavefront batch sizes each is
 microseconds of compute, so the loop is launch-bound. This kernel fuses the
-entire bounce — closest-hit over the primitive tables, material shading,
-mixture light sampling, and pdf evaluation — into ONE kernel per step.
+entire bounce — closest-hit over the primitive tables, participating-media
+free flight, material shading, mixture light sampling, and pdf evaluation —
+into ONE kernel per step; `bounce_fused` additionally folds in the
+ray-regeneration step (in-kernel PRNG, camera ray generation, depth cap).
 
 Design notes (TPU-specific):
 
 * Zero gathers: material/texture parameters are joined into primitive rows
   at pack time (`pack_scene`), and the intersection loop carries the
   winner's attributes under a mask instead of gathering by index after an
-  argmin. Light rows are looped the same way. All loads use static row
-  indices (loops are unrolled over the small primitive/light tables).
+  argmin. Light and media rows are looped the same way. The table is
+  sorted into kind-homogeneous sections (spheres, then quads), so each
+  section's candidate code is specialized — no per-row kind selects.
+* Scales past small scenes: sections with more rows than UNROLL_ROWS are
+  walked by a `fori_loop` over P_BLOCK-row blocks (dynamic sublane slices,
+  statically unrolled within the block), so Mosaic's instruction count —
+  and compile time — stays bounded for scenes like book1 (~500 spheres)
+  and book2 (~3400 prims).
 * Ray state is SoA planes of shape (N/128, 128) — native (sublane, lane)
   layout, no 3-wide minor dimension.
-* Uniform variates are inputs (same threefry stream as the XLA path), so
-  the kernel is bit-comparable with `_bounce` given the same key and is
-  exercised in interpreter mode on CPU.
+* Noise textures evaluate the gather-free hash-gradient Perlin
+  (scene/perlin.py) inline — pure VPU arithmetic.
+* `bounce` takes uniform variates as inputs (same threefry stream as the
+  XLA path), so it is bit-comparable with `_bounce` given the same key and
+  is exercised in interpreter mode on CPU. `bounce_fused` derives its
+  uniforms from an in-kernel counter-based hash PRNG (identical in Mosaic
+  and interpret mode).
 
 Supported scene surface (static flags checked by `supported()`): spheres
-(incl. motion blur) + quads; lambertian / metal / dielectric /
-diffuse-light materials; solid + checkerboard textures; quad + sphere
-lights. Scenes with triangles, media, or noise/image textures fall back to
-the XLA path.
+(incl. motion blur) + quads; constant media with sphere/box boundaries;
+lambertian / metal / dielectric / diffuse-light / isotropic materials;
+solid / checkerboard / perlin / marble / turbulence textures; quad +
+sphere lights. Scenes with triangles or image textures fall back to the
+XLA path.
 
 Semantics follow the reference exactly as in the XLA path (camera.go:293-331,
-materials.go, pdf.go, objects.go hit routines).
+materials.go, pdf.go, objects.go hit routines, medium.go:27-58).
 """
 
 from __future__ import annotations
@@ -40,20 +53,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from go_raytracer_tpu.scene import perlin as perlin_mod
 from go_raytracer_tpu.scene import types as T
 
 LANE = 128
+TILE_ROWS = 32
 INV_PI = 1.0 / math.pi
 INV_4PI = 1.0 / (4.0 * math.pi)
 
-# unified primitive row layout (spheres and quads share one table)
-# common: 0 kind(0 sphere,1 quad), then geometry, then joined material
+# primitive row layout — kind-homogeneous sections share the material block
 P_KIND = 0
 # sphere: 1-3 c0, 4-6 cd, 7 r, 8 r^2
 # quad:   1-3 normal, 4 D, 5-7 cvw, 8-10 cwu, 11 qcvw, 12 qcwu
 # material (joined): 13 mat_kind, 14-16 albedo, 17 inv_scale,
-#                    18-20 even, 21-23 odd, 24 tex_kind, 25 fuzz, 26 ref_idx
-P_COLS = 27
+#   18-20 even, 21-23 odd, 24 tex_kind, 25 fuzz, 26 ref_idx,
+#   27 noise_scale, 28 noise_seed (uint32 bits in an f32 slot)
+P_COLS = 29
+P_BLOCK = 8        # rows per dynamic block in large sections
+UNROLL_ROWS = 32   # sections up to this many rows are fully unrolled
 
 # light row layout
 # 0 kind(0 quad,1 sphere)
@@ -62,28 +79,56 @@ P_COLS = 27
 # sphere: 1-3 c0, 4 r
 L_COLS = 23
 
-N_U = 9  # uniforms per ray per bounce (wavefront.py slot order)
+# media row layout (medium.go:13-25 + transformation.go for box boundaries)
+# 0 kind(0 sphere,1 box), 1-3 center, 4 radius, 5 cos_t, 6 sin_t,
+# 7-9 offset, 10-12 box_min, 13-15 box_max, 16 neg_inv_density,
+# 17-19 isotropic albedo
+M_COLS = 20
+
+N_U = 9  # fixed uniforms per ray per bounce (wavefront.py slot order);
+         # media add one slot each at indices N_U + m
 
 
-def supported(scene: T.Scene, max_prims: int = 64, max_lights: int = 8) -> bool:
-    if scene.has_triangles or scene.has_media or scene.has_noise or scene.has_image:
+def supported(scene: T.Scene, max_prims: int = 4096, max_lights: int = 8,
+              max_media: int = 8) -> bool:
+    if scene.has_triangles or scene.has_tri_lights or scene.has_image:
         return False
-    if scene.has_tri_lights:
+    if scene.has_media and scene.media.count > max_media:
         return False
     n_prims = (scene.spheres.count if scene.has_spheres else 0) + \
         (scene.quads.count if scene.has_quads else 0)
     return 0 < n_prims <= max_prims and 0 < scene.lights.n <= max_lights
 
 
+def scene_statics(scene: T.Scene) -> dict:
+    """Static (hashable) kernel parameters derived from the scene's static
+    capability flags and table shapes."""
+    n_sph = scene.spheres.count if scene.has_spheres else 0
+    n_quad = scene.quads.count if scene.has_quads else 0
+    pad8 = lambda x: (x + P_BLOCK - 1) // P_BLOCK * P_BLOCK
+    return dict(
+        n_sph=n_sph, n_quad=n_quad,
+        sph_base=0, quad_base=pad8(n_sph),
+        n_rows=pad8(n_sph) + pad8(n_quad),
+        n_lights=scene.lights.count, n_lights_live=scene.lights.n,
+        n_media=scene.media.count if scene.has_media else 0,
+        has_metal=scene.has_metal, has_dielectric=scene.has_dielectric,
+        has_isotropic=scene.has_isotropic or scene.has_media,
+        has_noise=scene.has_noise,
+    )
+
+
 def pack_scene(scene: T.Scene):
     """Join primitives with their material/texture parameters into a dense
-    (P, P_COLS) row table, and lights into (L, L_COLS). Pure jnp — traced
-    once inside jit."""
+    (P, P_COLS) row table (kind-sorted sections, each padded to a P_BLOCK
+    multiple with kind=-1 rows), lights into (L, L_COLS), media into
+    (M, M_COLS). Pure jnp — traced once inside jit."""
     mats = scene.materials
     tex = scene.textures
 
     def mat_cols(mat_id):
         tex_id = mats.tex_id[mat_id]
+        noise_seed = scene.perlin.seed[tex.noise_id[tex_id]]
         return [
             mats.kind[mat_id].astype(jnp.float32),
             tex.color[tex_id][:, 0], tex.color[tex_id][:, 1], tex.color[tex_id][:, 2],
@@ -93,9 +138,19 @@ def pack_scene(scene: T.Scene):
             tex.kind[tex_id].astype(jnp.float32),
             mats.fuzz[mat_id],
             mats.ref_idx[mat_id],
+            tex.scale[tex_id],
+            jax.lax.bitcast_convert_type(noise_seed, jnp.float32),
         ]
 
-    rows = []
+    def pad_section(rows):
+        n = rows.shape[0]
+        pad = (-n) % P_BLOCK
+        if pad:
+            rows = jnp.concatenate(
+                [rows, jnp.full((pad, P_COLS), -1.0, rows.dtype)])
+        return rows
+
+    sections = []
     if scene.has_spheres:
         sp = scene.spheres
         cols = ([jnp.zeros_like(sp.radius)]
@@ -104,9 +159,9 @@ def pack_scene(scene: T.Scene):
                 + [sp.radius, sp.radius * sp.radius]
                 + [jnp.zeros_like(sp.radius)] * 4  # pad to col 13
                 + mat_cols(sp.mat_id))
-        rows.append(jnp.where(sp.active[:, None],
-                              jnp.stack(cols, axis=1),
-                              jnp.full((sp.count, P_COLS), -1.0)))
+        sections.append(pad_section(
+            jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
+                      jnp.full((sp.count, P_COLS), -1.0))))
     if scene.has_quads:
         qd = scene.quads
         qcvw = jnp.sum(qd.q * qd.cvw, axis=-1)
@@ -118,10 +173,10 @@ def pack_scene(scene: T.Scene):
                 + [qd.cwu[:, i] for i in range(3)]
                 + [qcvw, qcwu]
                 + mat_cols(qd.mat_id))
-        rows.append(jnp.where(qd.active[:, None],
-                              jnp.stack(cols, axis=1),
-                              jnp.full((qd.count, P_COLS), -1.0)))
-    prims = jnp.concatenate(rows, axis=0).astype(jnp.float32)
+        sections.append(pad_section(
+            jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
+                      jnp.full((qd.count, P_COLS), -1.0))))
+    prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
 
     lt = scene.lights
     lrows = []
@@ -152,7 +207,21 @@ def pack_scene(scene: T.Scene):
             srow = jnp.zeros((L_COLS,))
         lrows.append(jnp.where(kind == T.LIGHT_QUAD, qrow, srow))
     lights = jnp.stack(lrows).astype(jnp.float32)
-    return prims, lights
+
+    # media rows, with the isotropic phase function's albedo joined in
+    md = scene.media
+    alb = tex.color[mats.tex_id[md.mat_id]]
+    med = jnp.stack(
+        [md.kind.astype(jnp.float32)]
+        + [md.center[:, i] for i in range(3)]
+        + [md.radius, md.cos_t, md.sin_t]
+        + [md.offset[:, i] for i in range(3)]
+        + [md.box_min[:, i] for i in range(3)]
+        + [md.box_max[:, i] for i in range(3)]
+        + [md.neg_inv_density]
+        + [alb[:, i] for i in range(3)],
+        axis=1).astype(jnp.float32)
+    return prims, lights, med
 
 
 # ---------------------------------------------------------------------------
@@ -189,108 +258,201 @@ def _onb_transform(nx, ny, nz, lx, ly, lz):
             lx * uz + ly * vz + lz * wz)
 
 
-def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
-                 prim_ref, light_ref, bg,
-                 ox, oy, oz, dx, dy, dz, tm, alive, u):
-    """Shared bounce body over (R, 128) value planes: closest hit, shading,
-    mixture sampling — the whole of camera.go:293-331's per-level work.
-    `u` is a list of N_U uniform planes (threefry-fed in `bounce`,
-    in-kernel PRNG in `bounce_fused`). Returns value planes."""
-    f32 = jnp.float32
-    INF = jnp.asarray(jnp.inf, f32)
+T_MIN = 1e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
 
-    a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
+# winner-carry layout: t_best, n_h xyz, front_f, then 16 material cols
+N_CARRY = 5 + 16
 
-    # ---- closest hit: unrolled loop over joined primitive rows ----------
-    t_best = jnp.full(ox.shape, INF, f32)
-    n_hx = jnp.zeros_like(ox)
-    n_hy = jnp.zeros_like(ox)
-    n_hz = jnp.zeros_like(ox)
-    # Mosaic cannot select between i1 vectors (i8->i1 trunc); carry the
-    # front-face flag as f32 and compare at the end.
-    front_f = jnp.zeros_like(ox)
-    # carried winner material params
-    m_kind = jnp.zeros_like(ox)
-    alb_r = jnp.zeros_like(ox)
-    alb_g = jnp.zeros_like(ox)
-    alb_b = jnp.zeros_like(ox)
-    m_invs = jnp.zeros_like(ox)
-    m_ev_r = jnp.zeros_like(ox); m_ev_g = jnp.zeros_like(ox); m_ev_b = jnp.zeros_like(ox)
-    m_od_r = jnp.zeros_like(ox); m_od_g = jnp.zeros_like(ox); m_od_b = jnp.zeros_like(ox)
-    m_texk = jnp.zeros_like(ox)
-    m_fuzz = jnp.zeros_like(ox)
-    m_ridx = jnp.zeros_like(ox)
 
-    t_min = 1e-3
+def _init_carry(like):
+    INF = jnp.asarray(jnp.inf, jnp.float32)
+    zeros = [jnp.zeros_like(like) for _ in range(N_CARRY - 1)]
+    return (jnp.full(like.shape, INF, jnp.float32), *zeros)
 
-    for p in range(n_prims):
-        kind = prim_ref[p, P_KIND]
-        is_sphere = kind < 0.5
-        valid_row = kind >= 0.0
 
-        # sphere candidate (objects.go:83-115)
-        cx = prim_ref[p, 1] + tm * prim_ref[p, 4] - ox
-        cy = prim_ref[p, 2] + tm * prim_ref[p, 5] - oy
-        cz = prim_ref[p, 3] + tm * prim_ref[p, 6] - oz
+def _sphere_candidate(g, rays, t_best):
+    """Candidate hit vs one sphere row (objects.go:83-115)."""
+    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    cx = g(1) + tm * g(4) - ox
+    cy = g(2) + tm * g(5) - oy
+    cz = g(3) + tm * g(6) - oz
+    h = _dot3(dx, dy, dz, cx, cy, cz)
+    c = _dot3(cx, cy, cz, cx, cy, cz) - g(8)
+    disc = h * h - a_quad * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    r1 = (h - sq) / a_quad
+    r2 = (h + sq) / a_quad
+    sur1 = (T_MIN < r1) & (r1 < t_best)
+    root = jnp.where(sur1, r1, r2)
+    ok = (g(0) >= 0.0) & (disc >= 0.0) & (T_MIN < root) & (root < t_best)
+    # outward normal (objects.go:96-99)
+    nx = (ox + root * dx - (g(1) + tm * g(4))) / g(7)
+    ny = (oy + root * dy - (g(2) + tm * g(5))) / g(7)
+    nz = (oz + root * dz - (g(3) + tm * g(6))) / g(7)
+    return ok, root, nx, ny, nz
+
+
+def _quad_candidate(g, rays, t_best):
+    """Candidate hit vs one quad row (objects.go:167-206)."""
+    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    dn = _dot3(dx, dy, dz, g(1), g(2), g(3))
+    on = _dot3(ox, oy, oz, g(1), g(2), g(3))
+    t_q = (g(4) - on) / dn
+    px = ox + t_q * dx
+    py = oy + t_q * dy
+    pz = oz + t_q * dz
+    alpha = _dot3(px, py, pz, g(5), g(6), g(7)) - g(11)
+    beta = _dot3(px, py, pz, g(8), g(9), g(10)) - g(12)
+    ok = ((g(0) >= 0.0) & (jnp.abs(dn) >= 1e-8)
+          & (T_MIN <= t_q) & (t_q <= t_best)
+          & (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
+    return ok, t_q, g(1) + jnp.zeros_like(px), g(2) + jnp.zeros_like(px), \
+        g(3) + jnp.zeros_like(px)
+
+
+def _update_carry(carry, cand, g, rays):
+    """Fold a candidate into the winner carry (closest-hit min-reduce with
+    face-forward normals, hittable.go:27-34, 122-138)."""
+    dx, dy, dz = rays[3], rays[4], rays[5]
+    (t_best, n_hx, n_hy, n_hz, front_f, *mat) = carry
+    ok, t_c, cnx, cny, cnz = cand
+    ok = ok & (t_c < t_best)
+    c_front = _dot3(dx, dy, dz, cnx, cny, cnz) < 0.0
+    cnx = jnp.where(c_front, cnx, -cnx)
+    cny = jnp.where(c_front, cny, -cny)
+    cnz = jnp.where(c_front, cnz, -cnz)
+    t_best = jnp.where(ok, t_c, t_best)
+    n_hx = jnp.where(ok, cnx, n_hx)
+    n_hy = jnp.where(ok, cny, n_hy)
+    n_hz = jnp.where(ok, cnz, n_hz)
+    front_f = jnp.where(ok, jnp.where(c_front, 1.0, 0.0), front_f)
+    mat = [jnp.where(ok, g(13 + i), m) for i, m in enumerate(mat)]
+    return (t_best, n_hx, n_hy, n_hz, front_f, *mat)
+
+
+def _scan_section(prim_ref, base, n_real, candidate_fn, rays, carry):
+    """Walk one kind-homogeneous section: fully unrolled when small, a
+    fori_loop over P_BLOCK-row dynamic slices when large (keeps Mosaic's
+    program size independent of the primitive count)."""
+    if n_real == 0:
+        return carry
+    if n_real <= UNROLL_ROWS:
+        for p in range(n_real):
+            g = lambda c, p=p: prim_ref[base + p, c]
+            carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
+                                  g, rays)
+        return carry
+
+    n_blocks = (n_real + P_BLOCK - 1) // P_BLOCK
+
+    def body(b, carry):
+        rows = prim_ref[pl.ds(base + b * P_BLOCK, P_BLOCK), :]
+        for r in range(P_BLOCK):
+            g = lambda c, r=r: rows[r, c]
+            carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
+                                  g, rays)
+        return carry
+
+    return jax.lax.fori_loop(0, n_blocks, body, carry)
+
+
+def _media_update(med_ref, n_media, rays, u, carry):
+    """Participating-media free flight (medium.go:27-58): analytic
+    boundary spans (sphere roots / rotated-box slabs, trace.py semantics)
+    clamped by the closest hit so far, exponential scattering distance.
+    A medium winner presents the reference's fixed record: normal (1,0,0),
+    frontFace=true, isotropic material (medium.go:54-56)."""
+    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    ray_len = jnp.sqrt(a_quad)
+    for m in range(n_media):
+        g = lambda c: med_ref[m, c]
+        is_box = g(0) > 0.5
+        # sphere span
+        cx = g(1) - ox
+        cy = g(2) - oy
+        cz = g(3) - oz
         h = _dot3(dx, dy, dz, cx, cy, cz)
-        c = _dot3(cx, cy, cz, cx, cy, cz) - prim_ref[p, 8]
+        c = _dot3(cx, cy, cz, cx, cy, cz) - g(4) * g(4)
         disc = h * h - a_quad * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        r1 = (h - sq) / a_quad
-        r2 = (h + sq) / a_quad
-        sur1 = (t_min < r1) & (r1 < t_best)
-        root = jnp.where(sur1, r1, r2)
-        ok_s = (disc >= 0.0) & (t_min < root) & (root < t_best)
-        t_s = root
+        near_s = (h - sq) / a_quad
+        far_s = (h + sq) / a_quad
+        ok_s = disc >= 0.0
+        # box span in object space (transformation.go:25-34, 79-85)
+        cth, sth = g(5), g(6)
+        osx = ox - g(7)
+        osz = oz - g(9)
+        xo = cth * osx - sth * osz
+        yo = oy - g(8)
+        zo = sth * osx + cth * osz
+        dxo = cth * dx - sth * dz
+        dzo = sth * dx + cth * dz
+        near_b = jnp.full_like(ox, -jnp.inf)
+        far_b = jnp.full_like(ox, jnp.inf)
+        for (oc, dc, lo_c, hi_c) in ((xo, dxo, 10, 13), (yo, dy, 11, 14),
+                                     (zo, dzo, 12, 15)):
+            d_safe = jnp.where(jnp.abs(dc) < 1e-30,
+                               jnp.where(dc < 0, -1e-30, 1e-30), dc)
+            t0a = (g(lo_c) - oc) / d_safe
+            t1a = (g(hi_c) - oc) / d_safe
+            near_b = jnp.maximum(near_b, jnp.minimum(t0a, t1a))
+            far_b = jnp.minimum(far_b, jnp.maximum(t0a, t1a))
+        ok_b = far_b > near_b
 
-        # quad candidate (objects.go:167-206)
-        dn = _dot3(dx, dy, dz, prim_ref[p, 1], prim_ref[p, 2], prim_ref[p, 3])
-        on = _dot3(ox, oy, oz, prim_ref[p, 1], prim_ref[p, 2], prim_ref[p, 3])
-        t_q = (prim_ref[p, 4] - on) / dn
-        px = ox + t_q * dx
-        py = oy + t_q * dy
-        pz = oz + t_q * dz
-        alpha = _dot3(px, py, pz, prim_ref[p, 5], prim_ref[p, 6], prim_ref[p, 7]) - prim_ref[p, 11]
-        beta = _dot3(px, py, pz, prim_ref[p, 8], prim_ref[p, 9], prim_ref[p, 10]) - prim_ref[p, 12]
-        ok_q = ((jnp.abs(dn) >= 1e-8) & (t_min <= t_q) & (t_q <= t_best)
-                & (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
+        near = jnp.where(is_box, near_b, near_s)
+        far = jnp.where(is_box, far_b, far_s)
+        ok = jnp.where(is_box, ok_b, ok_s)
 
-        t_c = jnp.where(is_sphere, t_s, t_q)
-        # no bool-valued selects (Mosaic can't select i1): use logic ops
-        ok_sel = (is_sphere & ok_s) | (jnp.logical_not(is_sphere) & ok_q)
-        ok = valid_row & ok_sel & (t_c < t_best)
+        t_best = carry[0]
+        ok = ok & (far > near + 1e-4)        # second boundary hit (medium.go:34)
+        t0 = jnp.maximum(near, T_MIN)        # medium.go:37
+        t1 = jnp.minimum(far, t_best)        # medium.go:38 (shrunk rayT.Max)
+        ok = ok & (t0 < t1)                  # medium.go:39
+        t0 = jnp.maximum(t0, 0.0)            # medium.go:43
+        dist_inside = (t1 - t0) * ray_len
+        hit_dist = g(16) * jnp.log(u[N_U + m])
+        ok = ok & (hit_dist <= dist_inside)
+        t_c = t0 + hit_dist / ray_len
 
-        # candidate normal + front face (hittable.go:27-34)
-        s_nx = (ox + t_c * dx - (prim_ref[p, 1] + tm * prim_ref[p, 4])) / prim_ref[p, 7]
-        s_ny = (oy + t_c * dy - (prim_ref[p, 2] + tm * prim_ref[p, 5])) / prim_ref[p, 7]
-        s_nz = (oz + t_c * dz - (prim_ref[p, 3] + tm * prim_ref[p, 6])) / prim_ref[p, 7]
-        c_nx = jnp.where(is_sphere, s_nx, prim_ref[p, 1])
-        c_ny = jnp.where(is_sphere, s_ny, prim_ref[p, 2])
-        c_nz = jnp.where(is_sphere, s_nz, prim_ref[p, 3])
-        c_front = _dot3(dx, dy, dz, c_nx, c_ny, c_nz) < 0.0
-        c_nx = jnp.where(c_front, c_nx, -c_nx)
-        c_ny = jnp.where(c_front, c_ny, -c_ny)
-        c_nz = jnp.where(c_front, c_nz, -c_nz)
+        (t_best, n_hx, n_hy, n_hz, front_f, *mat) = carry
+        win = ok & (t_c < t_best)
+        one = jnp.ones_like(ox)
+        zero = jnp.zeros_like(ox)
+        t_best = jnp.where(win, t_c, t_best)
+        n_hx = jnp.where(win, one, n_hx)     # medium.go:54
+        n_hy = jnp.where(win, zero, n_hy)
+        n_hz = jnp.where(win, zero, n_hz)
+        front_f = jnp.where(win, one, front_f)  # medium.go:55
+        med_cols = [float(T.MAT_ISOTROPIC), g(17), g(18), g(19), 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(T.TEX_SOLID),
+                    0.0, 0.0, 0.0, 0.0]
+        mat = [jnp.where(win, mc, mv) for mc, mv in zip(med_cols, mat)]
+        carry = (t_best, n_hx, n_hy, n_hz, front_f, *mat)
+    return carry
 
-        t_best = jnp.where(ok, t_c, t_best)
-        n_hx = jnp.where(ok, c_nx, n_hx)
-        n_hy = jnp.where(ok, c_ny, n_hy)
-        n_hz = jnp.where(ok, c_nz, n_hz)
-        front_f = jnp.where(ok, jnp.where(c_front, 1.0, 0.0), front_f)
-        m_kind = jnp.where(ok, prim_ref[p, 13], m_kind)
-        alb_r = jnp.where(ok, prim_ref[p, 14], alb_r)
-        alb_g = jnp.where(ok, prim_ref[p, 15], alb_g)
-        alb_b = jnp.where(ok, prim_ref[p, 16], alb_b)
-        m_invs = jnp.where(ok, prim_ref[p, 17], m_invs)
-        m_ev_r = jnp.where(ok, prim_ref[p, 18], m_ev_r)
-        m_ev_g = jnp.where(ok, prim_ref[p, 19], m_ev_g)
-        m_ev_b = jnp.where(ok, prim_ref[p, 20], m_ev_b)
-        m_od_r = jnp.where(ok, prim_ref[p, 21], m_od_r)
-        m_od_g = jnp.where(ok, prim_ref[p, 22], m_od_g)
-        m_od_b = jnp.where(ok, prim_ref[p, 23], m_od_b)
-        m_texk = jnp.where(ok, prim_ref[p, 24], m_texk)
-        m_fuzz = jnp.where(ok, prim_ref[p, 25], m_fuzz)
-        m_ridx = jnp.where(ok, prim_ref[p, 26], m_ridx)
+
+def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
+                 ox, oy, oz, dx, dy, dz, tm, alive, u):
+    """Shared bounce body over (R, 128) value planes: closest hit, media,
+    shading, mixture sampling — the whole of camera.go:293-331's per-level
+    work. `u` is a list of N_U + n_media uniform planes. Returns value
+    planes (E, W, cf, new origin, new direction, alive')."""
+    a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
+    rays = (ox, oy, oz, dx, dy, dz, tm, a_quad)
+
+    # ---- closest hit over kind-homogeneous sections ---------------------
+    carry = _init_carry(ox)
+    carry = _scan_section(prim_ref, st["sph_base"], st["n_sph"],
+                          _sphere_candidate, rays, carry)
+    carry = _scan_section(prim_ref, st["quad_base"], st["n_quad"],
+                          _quad_candidate, rays, carry)
+    if st["n_media"]:
+        carry = _media_update(med_ref, st["n_media"], rays, u, carry)
+
+    (t_best, n_hx, n_hy, n_hz, front_f,
+     m_kind, alb_r, alb_g, alb_b, m_invs,
+     m_ev_r, m_ev_g, m_ev_b, m_od_r, m_od_g, m_od_b,
+     m_texk, m_fuzz, m_ridx, m_nscale, m_nseed) = carry
 
     front = front_f > 0.5
     hit = jnp.isfinite(t_best)
@@ -299,7 +461,7 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
     hy = oy + t_safe * dy
     hz = oz + t_safe * dz
 
-    # ---- texture value (solid / checker, texture.go:25-60) --------------
+    # ---- texture value (texture.go:25-60, 88-125) -----------------------
     is_checker = m_texk == float(T.TEX_CHECKER)
     fx = jnp.floor(m_invs * hx).astype(jnp.int32)
     fy = jnp.floor(m_invs * hy).astype(jnp.int32)
@@ -309,12 +471,35 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
     tex_g = jnp.where(is_checker, jnp.where(even, m_ev_g, m_od_g), alb_g)
     tex_b = jnp.where(is_checker, jnp.where(even, m_ev_b, m_od_b), alb_b)
 
+    if st["has_noise"]:
+        seedp = jax.lax.bitcast_convert_type(m_nseed, jnp.uint32)
+        nz = perlin_mod.noise_planes(seedp, m_nscale * hx, m_nscale * hy,
+                                     m_nscale * hz)
+        tb = perlin_mod.turbulence_planes(seedp, hx, hy, hz)
+        gray = jnp.where(
+            m_texk == float(T.TEX_PERLIN), 0.5 * (1.0 + nz),    # texture.go:115
+            jnp.where(m_texk == float(T.TEX_MARBLE),
+                      0.5 * (1.0 + jnp.sin(m_nscale * hz + 10.0 * tb)),  # :117
+                      tb))                                       # :119
+        needs_noise = ((m_texk == float(T.TEX_PERLIN))
+                       | (m_texk == float(T.TEX_MARBLE))
+                       | (m_texk == float(T.TEX_TURBULENT)))
+        tex_r = jnp.where(needs_noise, gray, tex_r)
+        tex_g = jnp.where(needs_noise, gray, tex_g)
+        tex_b = jnp.where(needs_noise, gray, tex_b)
+
     miss = alive & ~hit
     lit = alive & hit
     is_light = lit & (m_kind == float(T.MAT_DIFFUSE_LIGHT))
     is_metal = lit & (m_kind == float(T.MAT_METAL))
     is_diel = lit & (m_kind == float(T.MAT_DIELECTRIC))
-    diffuse = lit & (m_kind == float(T.MAT_LAMBERTIAN))
+    is_lamb = lit & (m_kind == float(T.MAT_LAMBERTIAN))
+    if st["has_isotropic"]:
+        is_iso = lit & (m_kind == float(T.MAT_ISOTROPIC))
+        diffuse = is_lamb | is_iso
+    else:
+        is_iso = None
+        diffuse = is_lamb
 
     # emission (materials.go:150-155) + background on miss
     e_on = is_light & front
@@ -323,6 +508,8 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
     eb = jnp.where(miss, bg[2], jnp.where(e_on, tex_b, 0.0))
 
     # ---- diffuse mixture sampling (pdf.go:58-74) ------------------------
+    n_lights = st["n_lights"]
+    n_lights_live = st["n_lights_live"]
     # light pick + per-kind sample (hittable.go:98-103, objects.go:63-80,161-165)
     li = jnp.minimum((u[4] * n_lights_live).astype(jnp.int32), n_lights_live - 1)
     ldx = jnp.zeros_like(ox)
@@ -346,9 +533,9 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
         ctm = jnp.sqrt(jnp.maximum(0.0, 1.0 - light_ref[l, 4] * light_ref[l, 4] / dist_sq))
         zz = 1.0 + u[6] * (ctm - 1.0)
         phi = 2.0 * math.pi * u[5]
-        st = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+        st_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
         sx, sy, sz = _onb_transform(tcx, tcy, tcz,
-                                    jnp.cos(phi) * st, jnp.sin(phi) * st, zz)
+                                    jnp.cos(phi) * st_, jnp.sin(phi) * st_, zz)
         cand_x = jnp.where(is_q, qx, sx)
         cand_y = jnp.where(is_q, qy, sy)
         cand_z = jnp.where(is_q, qz, sz)
@@ -356,13 +543,22 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
         ldy = jnp.where(sel, cand_y, ldy)
         ldz = jnp.where(sel, cand_z, ldz)
 
-    # cosine sample about the shading normal (pdf.go:38-40)
+    # material direction: cosine about the shading normal (pdf.go:38-40),
+    # uniform sphere for isotropic (pdf.go:15-23); same uniform slots as
+    # the XLA wavefront
     phi_m = 2.0 * math.pi * u[7]
     sq_m = jnp.sqrt(u[8])
     cz_m = jnp.sqrt(jnp.maximum(0.0, 1.0 - u[8]))
     mdx, mdy, mdz = _onb_transform(n_hx, n_hy, n_hz,
                                    jnp.cos(phi_m) * sq_m, jnp.sin(phi_m) * sq_m,
                                    cz_m)
+    if st["has_isotropic"]:
+        z_i = 1.0 - 2.0 * u[7]
+        r_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - z_i * z_i))
+        phi_i = 2.0 * math.pi * u[8]
+        mdx = jnp.where(is_iso, r_i * jnp.cos(phi_i), mdx)
+        mdy = jnp.where(is_iso, r_i * jnp.sin(phi_i), mdy)
+        mdz = jnp.where(is_iso, z_i, mdz)
 
     use_light = u[3] < 0.5
     gdx = jnp.where(use_light, ldx, mdx)
@@ -412,8 +608,12 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
     ugx, ugy, ugz = _normalize3(gdx, gdy, gdz)
     cos_t = _dot3(ugx, ugy, ugz, n_hx, n_hy, n_hz)
     cosine_pdf = jnp.maximum(0.0, cos_t) * INV_PI
-    pdf_value = 0.5 * l_pdf + 0.5 * cosine_pdf
-    ratio = jnp.where(diffuse, cosine_pdf, 0.0) / jnp.where(diffuse, pdf_value, 1.0)
+    if st["has_isotropic"]:
+        mat_pdf = jnp.where(is_iso, INV_4PI, cosine_pdf)
+    else:
+        mat_pdf = cosine_pdf
+    pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf
+    ratio = jnp.where(diffuse, mat_pdf, 0.0) / jnp.where(diffuse, pdf_value, 1.0)
     wr = jnp.where(diffuse, tex_r * ratio, 0.0)
     wg = jnp.where(diffuse, tex_g * ratio, 0.0)
     wb = jnp.where(diffuse, tex_b * ratio, 0.0)
@@ -421,7 +621,7 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
     ndy = gdy
     ndz = gdz
 
-    if has_metal:
+    if st["has_metal"]:
         # metal (materials.go:70-79)
         dn_m = _dot3(dx, dy, dz, n_hx, n_hy, n_hz)
         rx = dx - 2.0 * dn_m * n_hx
@@ -442,7 +642,7 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
         ndy = jnp.where(is_metal, ry, ndy)
         ndz = jnp.where(is_metal, rz, ndz)
 
-    if has_dielectric:
+    if st["has_dielectric"]:
         # dielectric (materials.go:94-130)
         udx, udy, udz = _normalize3(dx, dy, dz)
         ri = jnp.where(front, 1.0 / m_ridx, m_ridx)
@@ -491,23 +691,18 @@ def _bounce_core(n_prims, n_lights, n_lights_live, has_metal, has_dielectric,
             alive_out)
 
 
-def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
-                   has_dielectric,
-                   prim_ref, light_ref, bg_ref,
+def _bounce_kernel(st, n_u_tot,
+                   prim_ref, light_ref, med_ref, bg_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                   time_ref, alive_ref,
-                   u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
-                   u6_ref, u7_ref, u8_ref,
+                   time_ref, alive_ref, u_ref,
                    # outputs
                    er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
                    cf_ref, nox_ref, noy_ref, noz_ref,
                    ndx_ref, ndy_ref, ndz_ref, alive_out_ref):
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
-    u = [r[:] for r in (u0_ref, u1_ref, u2_ref, u3_ref, u4_ref, u5_ref,
-                        u6_ref, u7_ref, u8_ref)]
+    u = [u_ref[k] for k in range(n_u_tot)]
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
-        _bounce_core(n_prims, n_lights, n_lights_live, has_metal,
-                     has_dielectric, prim_ref, light_ref, bg,
+        _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
                      dx_ref[:], dy_ref[:], dz_ref[:],
                      time_ref[:], alive_ref[:] > 0, u)
@@ -527,22 +722,19 @@ def _bounce_kernel(n_prims, n_lights, n_lights_live, has_metal,
     alive_out_ref[:] = alive_out.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_prims", "n_lights",
-                                             "n_lights_live", "has_metal",
-                                             "has_dielectric", "interpret"))
-def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
-           n_lights_live, has_metal, has_dielectric, interpret=False):
-    """One fused bounce for the whole ray bundle.
+def _statics_key(st: dict):
+    return tuple(sorted(st.items()))
 
-    o, d: (N, 3); time, alive: (N,); u: (N, N_U) uniforms; prims (P, P_COLS),
-    lights (L, L_COLS); bg (3,). Returns E (N,3), W (N,3), cf (N,), new_o,
-    new_d (N,3), alive' (N,).
-    """
+
+@functools.partial(jax.jit, static_argnames=("st_key", "interpret"))
+def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
+                interpret):
+    st = dict(st_key)
+    n_u_tot = N_U + st["n_media"]
     n_orig = o.shape[0]
     # Tile the ray axis: Mosaic compile time scales with the block's
     # instruction count, so fixed (TILE_ROWS, 128) blocks + a grid keep the
     # program small for any N. Pad N to a whole number of tiles.
-    TILE_ROWS = 32
     tile = TILE_ROWS * LANE
     n = ((n_orig + tile - 1) // tile) * tile
     pad = n - n_orig
@@ -558,17 +750,19 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
     planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
               plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
               plane(time), plane(alive.astype(jnp.int32))]
-    u_planes = [plane(u[:, i]) for i in range(N_U)]
+    # uniforms as one (n_u, rows, 128) stack (block indexed per tile)
+    u_stack = jnp.stack([plane(u[:, i]) for i in range(n_u_tot)])
 
-    kernel = functools.partial(_bounce_kernel, n_prims, n_lights,
-                               n_lights_live, has_metal, has_dielectric)
+    kernel = functools.partial(_bounce_kernel, st, n_u_tot)
 
     grid = (rows // TILE_ROWS,)
     row_spec_f = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
-    in_specs = ([table_spec(prims), table_spec(lights),
+    in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
                  pl.BlockSpec((1, 3), lambda i: (0, 0))]
-                + [row_spec_f] * (8 + N_U))
+                + [row_spec_f] * 8
+                + [pl.BlockSpec((n_u_tot, TILE_ROWS, LANE),
+                                lambda i: (0, i, 0))])
     out_specs = [row_spec_f] * 14
     out_shapes = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
         [jax.ShapeDtypeStruct(shape, jnp.int32)] + \
@@ -582,8 +776,8 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, bg.reshape(1, 3).astype(jnp.float32),
-      *planes, *u_planes)
+    )(prims, lights, med, bg.reshape(1, 3).astype(jnp.float32),
+      *planes, u_stack)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2) = outs
     unp = lambda x: x.reshape(n)[:n_orig]
@@ -592,6 +786,18 @@ def bounce(prims, lights, o, d, time, alive, u, bg, n_prims, n_lights,
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
     return E, W, unp(cf) > 0, new_o, new_d, unp(alive2) > 0
+
+
+def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
+    """One fused bounce for the whole ray bundle (uniform-variate-fed,
+    bit-comparable with the XLA `_bounce` given the same threefry key).
+
+    scene_tables = pack_scene(scene); statics = scene_statics(scene);
+    o, d: (N, 3); time, alive: (N,); u: (N, N_U + n_media) uniforms.
+    Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,)."""
+    prims, lights, med = scene_tables
+    return _bounce_jit(prims, lights, med, o, d, time, alive, u, bg,
+                       st_key=_statics_key(statics), interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -629,9 +835,8 @@ def _u01(lane_u32, seed_u32, slot: int):
     return f - 1.0
 
 
-def _fused_kernel(n_prims, n_lights, n_lights_live, has_metal,
-                  has_dielectric, has_defocus, max_depth,
-                  prim_ref, light_ref, cam_ref, bg_ref, seed_ref,
+def _fused_kernel(st, has_defocus, max_depth,
+                  prim_ref, light_ref, med_ref, cam_ref, bg_ref, seed_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   time_ref, alive_ref, depth_ref,
                   take_ref, pi_ref, pj_ref, si_ref, sj_ref,
@@ -687,11 +892,10 @@ def _fused_kernel(n_prims, n_lights, n_lights_live, has_metal,
     alive = (alive_ref[:] > 0) | take
     depth = jnp.where(take, 0, depth_ref[:])
 
-    u = [u01(N_U_RAYGEN + k) for k in range(N_U)]
+    u = [u01(N_U_RAYGEN + k) for k in range(N_U + st["n_media"])]
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
-        _bounce_core(n_prims, n_lights, n_lights_live, has_metal,
-                     has_dielectric, prim_ref, light_ref, bg,
+        _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                      ox, oy, oz, dx, dy, dz, tm, alive, u)
 
     # depth cap (camera.go:293-296): level depth+1 was just recorded; a path
@@ -726,19 +930,13 @@ def pack_camera(arrays) -> jnp.ndarray:
     ]).astype(jnp.float32).reshape(1, 20)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_prims", "n_lights", "n_lights_live", "has_metal", "has_dielectric",
-    "has_defocus", "max_depth", "interpret"))
-def bounce_fused(prims, lights, cam_row, bg, seed,
-                 o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
-                 *, n_prims, n_lights, n_lights_live, has_metal,
-                 has_dielectric, has_defocus, max_depth, interpret=False):
-    """One fused regeneration step. All lane arrays are (N,) / (N,3) with
-    N a multiple of TILE_ROWS*128 (the regen pool is sized accordingly).
-
-    Returns (E, W, cf, new_o, new_d, new_time, alive', depth')."""
+@functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
+                                             "max_depth", "interpret"))
+def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+                      o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                      st_key, has_defocus, max_depth, interpret):
+    st = dict(st_key)
     n = o.shape[0]
-    TILE_ROWS = 32
     assert n % (TILE_ROWS * LANE) == 0, n
     rows = n // LANE
     shape = (rows, LANE)
@@ -749,14 +947,12 @@ def bounce_fused(prims, lights, cam_row, bg, seed,
     refill_planes = [plane(take_i32), plane(pi), plane(pj),
                      plane(si), plane(sj)]
 
-    kernel = functools.partial(_fused_kernel, n_prims, n_lights,
-                               n_lights_live, has_metal, has_dielectric,
-                               has_defocus, max_depth)
+    kernel = functools.partial(_fused_kernel, st, has_defocus, max_depth)
 
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
-    in_specs = ([table_spec(prims), table_spec(lights),
+    in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
                  pl.BlockSpec((1, 20), lambda i: (0, 0)),
                  pl.BlockSpec((1, 3), lambda i: (0, 0)),
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -773,7 +969,7 @@ def bounce_fused(prims, lights, cam_row, bg, seed,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, cam_row, bg.reshape(1, 3).astype(f32),
+    )(prims, lights, med, cam_row, bg.reshape(1, 3).astype(f32),
       seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, ntm,
@@ -785,3 +981,19 @@ def bounce_fused(prims, lights, cam_row, bg, seed,
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
     return (E, W, unp(cf) > 0, new_o, new_d, unp(ntm), unp(alive2),
             unp(depth2))
+
+
+def bounce_fused(scene_tables, statics, cam_row, bg, seed,
+                 o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                 *, has_defocus, max_depth, interpret=False):
+    """One fused regeneration step. All lane arrays are (N,) / (N,3) with
+    N a multiple of TILE_ROWS*128 (the regen pool is sized accordingly).
+
+    Returns (E, W, cf, new_o, new_d, new_time, alive', depth')."""
+    prims, lights, med = scene_tables
+    return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+                             o, d, time, alive_i32, depth, take_i32,
+                             pi, pj, si, sj,
+                             st_key=_statics_key(statics),
+                             has_defocus=has_defocus, max_depth=max_depth,
+                             interpret=interpret)

@@ -69,42 +69,51 @@ def _gradient(i, j, k, seed, dtype):
     return gx * inv, gy * inv, gz * inv
 
 
-def noise(seed, p: jnp.ndarray) -> jnp.ndarray:
-    """Gradient noise at points p (..., 3), in [-1, 1] (perlin.go:34-54):
-    Hermitian-smoothed trilinear interpolation of corner-gradient dots."""
-    dtype = p.dtype
-    fl = jnp.floor(p)
-    uvw = p - fl
-    ijk = fl.astype(jnp.int32)
+def noise_planes(seed, x, y, z):
+    """Plane-form gradient noise, in [-1, 1] (perlin.go:34-54): Hermitian-
+    smoothed trilinear interpolation of corner-gradient dots. `seed` may be
+    a scalar or a per-point array (per-lane texture ids in the Pallas
+    megakernel). Uses only jnp arithmetic + rsqrt, so it runs unchanged
+    inside Mosaic kernels."""
+    dtype = x.dtype
+    flx, fly, flz = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    ux, uy, uz = x - flx, y - fly, z - flz
+    i0, j0, k0 = (f.astype(jnp.int32) for f in (flx, fly, flz))
 
     # Hermitian smoothing (perlin.go:96-98)
-    sm = uvw * uvw * (3.0 - 2.0 * uvw)
+    smx = ux * ux * (3.0 - 2.0 * ux)
+    smy = uy * uy * (3.0 - 2.0 * uy)
+    smz = uz * uz * (3.0 - 2.0 * uz)
 
-    acc = jnp.zeros(p.shape[:-1], dtype=dtype)
+    acc = jnp.zeros_like(x)
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                gx, gy, gz = _gradient(ijk[..., 0] + di, ijk[..., 1] + dj,
-                                       ijk[..., 2] + dk, seed, dtype)
-                wx = uvw[..., 0] - di
-                wy = uvw[..., 1] - dj
-                wz = uvw[..., 2] - dk
-                w = (
-                    (di * sm[..., 0] + (1 - di) * (1.0 - sm[..., 0]))
-                    * (dj * sm[..., 1] + (1 - dj) * (1.0 - sm[..., 1]))
-                    * (dk * sm[..., 2] + (1 - dk) * (1.0 - sm[..., 2]))
-                )
-                acc = acc + w * (gx * wx + gy * wy + gz * wz)
+                gx, gy, gz = _gradient(i0 + di, j0 + dj, k0 + dk, seed, dtype)
+                w = ((di * smx + (1 - di) * (1.0 - smx))
+                     * (dj * smy + (1 - dj) * (1.0 - smy))
+                     * (dk * smz + (1 - dk) * (1.0 - smz)))
+                acc = acc + w * (gx * (ux - di) + gy * (uy - dj)
+                                 + gz * (uz - dk))
     return acc
+
+
+def turbulence_planes(seed, x, y, z, depth: int = 7):
+    """7-octave turbulence, plane form (perlin.go:57-69)."""
+    acc = jnp.zeros_like(x)
+    weight = 1.0
+    for _ in range(depth):
+        acc = acc + weight * noise_planes(seed, x, y, z)
+        weight *= 0.5
+        x, y, z = x * 2.0, y * 2.0, z * 2.0
+    return jnp.abs(acc)
+
+
+def noise(seed, p: jnp.ndarray) -> jnp.ndarray:
+    """Gradient noise at points p (..., 3) (perlin.go:34-54)."""
+    return noise_planes(seed, p[..., 0], p[..., 1], p[..., 2])
 
 
 def turbulence(seed, p: jnp.ndarray, depth: int = 7) -> jnp.ndarray:
     """7-octave turbulence (perlin.go:57-69)."""
-    acc = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    weight = 1.0
-    tp = p
-    for _ in range(depth):
-        acc = acc + weight * noise(seed, tp)
-        weight *= 0.5
-        tp = tp * 2.0
-    return jnp.abs(acc)
+    return turbulence_planes(seed, p[..., 0], p[..., 1], p[..., 2], depth)

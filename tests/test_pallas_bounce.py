@@ -37,11 +37,16 @@ def cornell_like():
 def test_supported_flags():
     s = cornell_like()
     assert pb.supported(s)
-    # scenes with media/noise fall back
+    # media and noise textures are in-kernel now; image textures and
+    # triangles still fall back to XLA
     b = SceneBuilder()
     b.quad((0, 0, 0), (1, 0, 0), (0, 1, 0), b.lambertian(tex=b.noise_texture(1.0)))
     b.add_light(b.quad((0, 0, 5), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1))))
-    assert not pb.supported(b.build())
+    assert pb.supported(b.build())
+    b2 = SceneBuilder()
+    b2.triangle([(0, 0, 0), (1, 0, 0), (0, 1, 0)], b2.lambertian((0.5, 0.5, 0.5)))
+    b2.add_light(b2.quad((0, 0, 5), (1, 0, 0), (0, 1, 0), b2.diffuse_light((1, 1, 1))))
+    assert not pb.supported(b2.build())
 
 
 def test_pallas_bounce_matches_xla_bounce():
@@ -56,12 +61,9 @@ def test_pallas_bounce_matches_xla_bounce():
 
     E1, W1, cf1, no1, nd1, na1 = wavefront._bounce(s, o, d, t, alive, u)
 
-    prims, lights = pb.pack_scene(s)
     E2, W2, cf2, no2, nd2, na2 = pb.bounce(
-        prims, lights, o, d, t, alive, u[:, :pb.N_U], s.background,
-        n_prims=prims.shape[0], n_lights=lights.shape[0],
-        n_lights_live=s.lights.n, has_metal=True, has_dielectric=True,
-        interpret=True)
+        pb.pack_scene(s), pb.scene_statics(s), o, d, t, alive, u,
+        s.background, interpret=True)
 
     np.testing.assert_array_equal(np.asarray(na1), np.asarray(na2))
     np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
@@ -78,6 +80,88 @@ def test_pallas_bounce_matches_xla_bounce():
         nan_a = np.isnan(a)
         assert (nan_a == np.isnan(b_)).all()
         np.testing.assert_allclose(a[~nan_a], b_[~nan_a], rtol=2e-3, atol=2e-3)
+
+
+def _compare_bounce(s, n=512, seed=0, origin_rng=(50, 500), dir_scale=300,
+                    rtol=2e-3, atol=2e-3):
+    rs = np.random.default_rng(seed)
+    o = jnp.asarray(rs.uniform(*origin_rng, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)) * dir_scale, dtype=jnp.float32)
+    t = jnp.asarray(rs.uniform(0, 1, n), dtype=jnp.float32)
+    alive = jnp.ones(n, dtype=bool)
+    n_u = wavefront.N_FIXED_U + s.media.count
+    u = jax.random.uniform(jax.random.key(3), (n, n_u))
+    E1, W1, cf1, no1, nd1, na1 = wavefront._bounce(s, o, d, t, alive, u)
+    E2, W2, cf2, no2, nd2, na2 = pb.bounce(
+        pb.pack_scene(s), pb.scene_statics(s), o, d, t, alive, u,
+        s.background, interpret=True)
+    np.testing.assert_array_equal(np.asarray(na1), np.asarray(na2))
+    np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
+    np.testing.assert_allclose(np.asarray(no1), np.asarray(no2),
+                               rtol=2e-4, atol=2e-3)
+    cont = np.asarray(na1)
+    for a, b_, mask in ((E1, E2, None), (W1, W2, None), (nd1, nd2, cont)):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        if mask is not None:
+            a, b_ = a[mask], b_[mask]
+        nan_a = np.isnan(a)
+        assert (nan_a == np.isnan(b_)).all()
+        np.testing.assert_allclose(a[~nan_a], b_[~nan_a], rtol=rtol, atol=atol)
+
+
+def test_pallas_bounce_media_matches_xla():
+    """cornellSmoke-class scene: box + sphere constant media resolved
+    in-kernel (medium.go:27-58 span + free-flight semantics)."""
+    b = SceneBuilder(background=(0, 0, 0))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    b.quad((555, 0, 0), (0, 555, 0), (0, 0, 555), b.lambertian((0.12, 0.45, 0.15)))
+    b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+    lq = b.quad((343, 550, 332), (-130, 0, 0), (0, 0, -105), b.diffuse_light((7, 7, 7)))
+    b.add_light(lq)
+    b.constant_medium_box((0, 0, 0), (165, 330, 165), 0.01, albedo=(0, 0, 0),
+                          rotate_y_deg=15, translate=(265, 0, 295))
+    b.constant_medium_sphere((130, 150, 130), 100, 0.02, albedo=(0.8, 0.4, 0.2))
+    s = b.build()
+    assert pb.supported(s)
+    _compare_bounce(s, seed=5)
+
+
+def test_pallas_bounce_noise_matches_xla():
+    """simpleLight-class scene: marble/perlin/turbulence textures evaluated
+    in-kernel with the hash-gradient noise."""
+    b = SceneBuilder(background=(0, 0, 0))
+    b.sphere((0, -1000, 0), 1000, b.lambertian(tex=b.noise_texture(4, "marble", seed=11)))
+    b.sphere((0, 2, 0), 2, b.lambertian(tex=b.noise_texture(1.5, "perlin", seed=12)))
+    b.sphere((5, 2, 0), 2, b.lambertian(tex=b.noise_texture(2.0, "turbulent", seed=13)))
+    q = b.quad((3, 1, -2), (2, 0, 0), (0, 2, 0), b.diffuse_light((4, 4, 4)))
+    b.add_light(q)
+    s = b.build()
+    assert pb.supported(s)
+    # f32 hit-point rounding is amplified ~2^7*10 by the marble formula's
+    # 7-octave turbulence + sin, so noise scenes get looser tolerances
+    _compare_bounce(s, seed=7, origin_rng=(-8, 8), dir_scale=5,
+                    rtol=3e-2, atol=2e-2)
+
+
+def test_pallas_bounce_block_looped_sections_match_xla():
+    """book1-class scene: enough spheres+quads to exercise the fori-loop
+    block path (sections larger than UNROLL_ROWS)."""
+    rs = np.random.default_rng(2)
+    b = SceneBuilder(background=(0.7, 0.8, 1.0))
+    for _ in range(3 * pb.UNROLL_ROWS + 5):
+        c = rs.uniform(-10, 10, 3)
+        b.sphere(tuple(c), rs.uniform(0.2, 0.8),
+                 b.lambertian(tuple(rs.uniform(0.1, 0.9, 3))))
+    for _ in range(pb.UNROLL_ROWS + 9):
+        q = rs.uniform(-10, 10, 3)
+        b.quad(tuple(q), (rs.uniform(0.5, 2), 0, 0), (0, rs.uniform(0.5, 2), 0),
+               b.metal(tuple(rs.uniform(0.5, 1, 3)), rs.uniform(0, 0.5)))
+    lq = b.quad((0, 12, 0), (3, 0, 0), (0, 0, 3), b.diffuse_light((5, 5, 5)))
+    b.add_light(lq)
+    s = b.build()
+    st = pb.scene_statics(s)
+    assert st["n_sph"] > pb.UNROLL_ROWS and st["n_quad"] > pb.UNROLL_ROWS
+    _compare_bounce(s, seed=9, origin_rng=(-12, 12), dir_scale=8)
 
 
 def test_pallas_radiance_path_matches_xla():
