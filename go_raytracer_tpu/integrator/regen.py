@@ -87,12 +87,13 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
         pi = (pid % width).astype(dtype)
         pj = (pid // width).astype(dtype)
-        E, W, cf, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
+        E, W, cf, no, nd, ntm, alive2, depth2, img = pallas_bounce.bounce_fused(
             tables, statics, cam_row, scene.background, seed_i32,
             o, d, t, alive.astype(jnp.int32), depth,
             take.astype(jnp.int32), pi, pj, s_i, s_j,
             has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
             interpret=interpret)
+        W = pallas_bounce.patch_image_weight(scene, W, img)
         item_id = jnp.where(take, item, item_id)
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
         seg = jnp.sum((alive | take).astype(jnp.int32))

@@ -40,19 +40,7 @@ def texture_value(scene: T.Scene, tex_id: jnp.ndarray, u: jnp.ndarray,
     out = jnp.where((kind == T.TEX_CHECKER)[:, None], checker, out)
 
     if scene.has_image:
-        # texture.go:70-86: truncated mod-repeat, v flipped, nearest lookup.
-        # Go math.Mod is truncated remainder -> jnp.fmod.
-        uu = jnp.abs(jnp.fmod(u, 1.0))
-        vv = 1.0 - jnp.abs(jnp.fmod(v, 1.0))
-        img_id = tx.image_id[tex_id]
-        wh = scene.images.wh[img_id]
-        w_img = wh[:, 0].astype(p.dtype)
-        h_img = wh[:, 1].astype(p.dtype)
-        i = (uu * (w_img - 1.0)).astype(jnp.int32)
-        j = (vv * (h_img - 1.0)).astype(jnp.int32)
-        i = jnp.clip(i, 0, wh[:, 0] - 1)  # PixelData clamp (imageLoader.go:49-62)
-        j = jnp.clip(j, 0, wh[:, 1] - 1)
-        val = scene.images.data[img_id, j, i]
+        val = image_value(scene, tx.image_id[tex_id], u, v)
         out = jnp.where((kind == T.TEX_IMAGE)[:, None], val, out)
 
     if scene.has_noise:
@@ -77,6 +65,25 @@ def texture_value(scene: T.Scene, tex_id: jnp.ndarray, u: jnp.ndarray,
         out = jnp.where(needs_noise[:, None], gray[:, None] * jnp.ones((1, 3), p.dtype), out)
 
     return out
+
+
+def image_value(scene: T.Scene, img_id: jnp.ndarray, u: jnp.ndarray,
+                v: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor image texel (N, 3) (texture.go:70-86): truncated
+    mod-repeat (Go math.Mod -> jnp.fmod), v flipped, PixelData clamp
+    (imageLoader.go:49-62). Also the XLA-side patch for the Pallas
+    megakernel's image-textured lanes (the one per-ray gather the kernel
+    can't do)."""
+    uu = jnp.abs(jnp.fmod(u, 1.0))
+    vv = 1.0 - jnp.abs(jnp.fmod(v, 1.0))
+    wh = scene.images.wh[img_id]
+    w_img = wh[:, 0].astype(u.dtype)
+    h_img = wh[:, 1].astype(u.dtype)
+    i = (uu * (w_img - 1.0)).astype(jnp.int32)
+    j = (vv * (h_img - 1.0)).astype(jnp.int32)
+    i = jnp.clip(i, 0, wh[:, 0] - 1)
+    j = jnp.clip(j, 0, wh[:, 1] - 1)
+    return scene.images.data[img_id, j, i]
 
 
 # --------------------------------------------------------------------------

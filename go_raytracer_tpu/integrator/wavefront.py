@@ -177,9 +177,10 @@ def radiance(scene: T.Scene, o, d, time, key, max_depth: int,
         o_c, d_c, t_c, alive_c = carry
         u = jax.random.uniform(step_key, (n, n_u), dtype=dtype)
         if use_pallas:
-            E, W, cf, no, nd, na = pallas_bounce.bounce(
+            E, W, cf, no, nd, na, img = pallas_bounce.bounce(
                 tables, statics, o_c, d_c, t_c, alive_c, u,
                 scene.background, interpret=interpret)
+            W = pallas_bounce.patch_image_weight(scene, W, img)
         else:
             E, W, cf, no, nd, na = _bounce(scene, o_c, d_c, t_c, alive_c, u)
         dead = ~alive_c

@@ -67,8 +67,9 @@ P_KIND = 0
 # quad:   1-3 normal, 4 D, 5-7 cvw, 8-10 cwu, 11 qcvw, 12 qcwu
 # material (joined): 13 mat_kind, 14-16 albedo, 17 inv_scale,
 #   18-20 even, 21-23 odd, 24 tex_kind, 25 fuzz, 26 ref_idx,
-#   27 noise_scale, 28 noise_seed (uint32 bits in an f32 slot)
-P_COLS = 29
+#   27 noise_scale, 28 noise_seed (uint32 bits in an f32 slot), 29 image_id
+P_COLS = 30
+N_MAT_COLS = 17   # cols 13..29 joined into every candidate row
 P_BLOCK = 8        # rows per dynamic block in large sections
 UNROLL_ROWS = 32   # sections up to this many rows are fully unrolled
 
@@ -91,7 +92,7 @@ N_U = 9  # fixed uniforms per ray per bounce (wavefront.py slot order);
 
 def supported(scene: T.Scene, max_prims: int = 4096, max_lights: int = 8,
               max_media: int = 8) -> bool:
-    if scene.has_triangles or scene.has_tri_lights or scene.has_image:
+    if scene.has_triangles or scene.has_tri_lights:
         return False
     if scene.has_media and scene.media.count > max_media:
         return False
@@ -115,6 +116,7 @@ def scene_statics(scene: T.Scene) -> dict:
         has_metal=scene.has_metal, has_dielectric=scene.has_dielectric,
         has_isotropic=scene.has_isotropic or scene.has_media,
         has_noise=scene.has_noise,
+        has_image=scene.has_image,
     )
 
 
@@ -140,6 +142,7 @@ def pack_scene(scene: T.Scene):
             mats.ref_idx[mat_id],
             tex.scale[tex_id],
             jax.lax.bitcast_convert_type(noise_seed, jnp.float32),
+            tex.image_id[tex_id].astype(jnp.float32),
         ]
 
     def pad_section(rows):
@@ -260,8 +263,10 @@ def _onb_transform(nx, ny, nz, lx, ly, lz):
 
 T_MIN = 1e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
 
-# winner-carry layout: t_best, n_h xyz, front_f, then 16 material cols
-N_CARRY = 5 + 16
+# winner-carry layout: t_best, n_h xyz, front_f, prim-kind, cand u/v,
+# then the joined material cols
+N_CARRY = 8 + N_MAT_COLS
+KIND_SPHERE, KIND_QUAD, KIND_MEDIUM = 0.0, 1.0, 2.0
 
 
 def _init_carry(like):
@@ -289,7 +294,8 @@ def _sphere_candidate(g, rays, t_best):
     nx = (ox + root * dx - (g(1) + tm * g(4))) / g(7)
     ny = (oy + root * dy - (g(2) + tm * g(5))) / g(7)
     nz = (oz + root * dz - (g(3) + tm * g(6))) / g(7)
-    return ok, root, nx, ny, nz
+    zero = jnp.zeros_like(nx)
+    return ok, root, nx, ny, nz, zero, zero
 
 
 def _quad_candidate(g, rays, t_best):
@@ -306,16 +312,17 @@ def _quad_candidate(g, rays, t_best):
     ok = ((g(0) >= 0.0) & (jnp.abs(dn) >= 1e-8)
           & (T_MIN <= t_q) & (t_q <= t_best)
           & (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
+    # (alpha, beta) double as the quad's texture uv (objects.go:196-199)
     return ok, t_q, g(1) + jnp.zeros_like(px), g(2) + jnp.zeros_like(px), \
-        g(3) + jnp.zeros_like(px)
+        g(3) + jnp.zeros_like(px), alpha, beta
 
 
-def _update_carry(carry, cand, g, rays):
+def _update_carry(carry, cand, g, rays, kind_code):
     """Fold a candidate into the winner carry (closest-hit min-reduce with
     face-forward normals, hittable.go:27-34, 122-138)."""
     dx, dy, dz = rays[3], rays[4], rays[5]
-    (t_best, n_hx, n_hy, n_hz, front_f, *mat) = carry
-    ok, t_c, cnx, cny, cnz = cand
+    (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat) = carry
+    ok, t_c, cnx, cny, cnz, cu, cv = cand
     ok = ok & (t_c < t_best)
     c_front = _dot3(dx, dy, dz, cnx, cny, cnz) < 0.0
     cnx = jnp.where(c_front, cnx, -cnx)
@@ -326,11 +333,15 @@ def _update_carry(carry, cand, g, rays):
     n_hy = jnp.where(ok, cny, n_hy)
     n_hz = jnp.where(ok, cnz, n_hz)
     front_f = jnp.where(ok, jnp.where(c_front, 1.0, 0.0), front_f)
+    w_kind = jnp.where(ok, kind_code, w_kind)
+    w_u = jnp.where(ok, cu, w_u)
+    w_v = jnp.where(ok, cv, w_v)
     mat = [jnp.where(ok, g(13 + i), m) for i, m in enumerate(mat)]
-    return (t_best, n_hx, n_hy, n_hz, front_f, *mat)
+    return (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
 
 
-def _scan_section(prim_ref, base, n_real, candidate_fn, rays, carry):
+def _scan_section(prim_ref, base, n_real, candidate_fn, kind_code, rays,
+                  carry):
     """Walk one kind-homogeneous section: fully unrolled when small, a
     fori_loop over P_BLOCK-row dynamic slices when large (keeps Mosaic's
     program size independent of the primitive count)."""
@@ -340,7 +351,7 @@ def _scan_section(prim_ref, base, n_real, candidate_fn, rays, carry):
         for p in range(n_real):
             g = lambda c, p=p: prim_ref[base + p, c]
             carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
-                                  g, rays)
+                                  g, rays, kind_code)
         return carry
 
     n_blocks = (n_real + P_BLOCK - 1) // P_BLOCK
@@ -350,7 +361,7 @@ def _scan_section(prim_ref, base, n_real, candidate_fn, rays, carry):
         for r in range(P_BLOCK):
             g = lambda c, r=r: rows[r, c]
             carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
-                                  g, rays)
+                                  g, rays, kind_code)
         return carry
 
     return jax.lax.fori_loop(0, n_blocks, body, carry)
@@ -414,7 +425,7 @@ def _media_update(med_ref, n_media, rays, u, carry):
         ok = ok & (hit_dist <= dist_inside)
         t_c = t0 + hit_dist / ray_len
 
-        (t_best, n_hx, n_hy, n_hz, front_f, *mat) = carry
+        (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat) = carry
         win = ok & (t_c < t_best)
         one = jnp.ones_like(ox)
         zero = jnp.zeros_like(ox)
@@ -423,11 +434,14 @@ def _media_update(med_ref, n_media, rays, u, carry):
         n_hy = jnp.where(win, zero, n_hy)
         n_hz = jnp.where(win, zero, n_hz)
         front_f = jnp.where(win, one, front_f)  # medium.go:55
+        w_kind = jnp.where(win, KIND_MEDIUM, w_kind)
+        w_u = jnp.where(win, zero, w_u)
+        w_v = jnp.where(win, zero, w_v)
         med_cols = [float(T.MAT_ISOTROPIC), g(17), g(18), g(19), 0.0,
                     0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(T.TEX_SOLID),
-                    0.0, 0.0, 0.0, 0.0]
+                    0.0, 0.0, 0.0, 0.0, 0.0]
         mat = [jnp.where(win, mc, mv) for mc, mv in zip(med_cols, mat)]
-        carry = (t_best, n_hx, n_hy, n_hz, front_f, *mat)
+        carry = (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
     return carry
 
 
@@ -443,16 +457,16 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
     # ---- closest hit over kind-homogeneous sections ---------------------
     carry = _init_carry(ox)
     carry = _scan_section(prim_ref, st["sph_base"], st["n_sph"],
-                          _sphere_candidate, rays, carry)
+                          _sphere_candidate, KIND_SPHERE, rays, carry)
     carry = _scan_section(prim_ref, st["quad_base"], st["n_quad"],
-                          _quad_candidate, rays, carry)
+                          _quad_candidate, KIND_QUAD, rays, carry)
     if st["n_media"]:
         carry = _media_update(med_ref, st["n_media"], rays, u, carry)
 
-    (t_best, n_hx, n_hy, n_hz, front_f,
+    (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v,
      m_kind, alb_r, alb_g, alb_b, m_invs,
      m_ev_r, m_ev_g, m_ev_b, m_od_r, m_od_g, m_od_b,
-     m_texk, m_fuzz, m_ridx, m_nscale, m_nseed) = carry
+     m_texk, m_fuzz, m_ridx, m_nscale, m_nseed, m_imgid) = carry
 
     front = front_f > 0.5
     hit = jnp.isfinite(t_best)
@@ -687,8 +701,30 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
     noy = jnp.where(lit, hy, oy)
     noz = jnp.where(lit, hz, oz)
     alive_out = is_metal | is_diel | diffuse
+
+    if st["has_image"]:
+        # Image textures are the one thing the kernel cannot do (per-ray
+        # texel gathers); emit (uv, image id, diffuse pdf-ratio) so the XLA
+        # caller can patch W = texel * ratio on the flagged lanes.
+        # sphere uv from the outward normal (objects.go:44-50); quad uv is
+        # the carried (alpha, beta)
+        outx = jnp.where(front, n_hx, -n_hx)
+        outy = jnp.where(front, n_hy, -n_hy)
+        outz = jnp.where(front, n_hz, -n_hz)
+        theta = jnp.arccos(jnp.clip(-outy, -1.0, 1.0))
+        phi = jnp.arctan2(-outz, outx) + math.pi
+        sph_u = phi * (0.5 * INV_PI)
+        sph_v = theta * INV_PI
+        is_sph = w_kind == KIND_SPHERE
+        uu = jnp.where(is_sph, sph_u, w_u)
+        vv = jnp.where(is_sph, sph_v, w_v)
+        is_img = diffuse & (m_texk == float(T.TEX_IMAGE))
+        img_id = jnp.where(is_img, m_imgid, -1.0)
+        img_out = (ratio, uu, vv, img_id)
+    else:
+        img_out = (zero, zero, zero, zero)
     return (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
-            alive_out)
+            alive_out, img_out)
 
 
 def _bounce_kernel(st, n_u_tot,
@@ -698,14 +734,18 @@ def _bounce_kernel(st, n_u_tot,
                    # outputs
                    er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
                    cf_ref, nox_ref, noy_ref, noz_ref,
-                   ndx_ref, ndy_ref, ndz_ref, alive_out_ref):
+                   ndx_ref, ndy_ref, ndz_ref, alive_out_ref,
+                   *img_refs):
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     u = [u_ref[k] for k in range(n_u_tot)]
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
+     img_out) = \
         _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
                      dx_ref[:], dy_ref[:], dz_ref[:],
                      time_ref[:], alive_ref[:] > 0, u)
+    for ref, val in zip(img_refs, img_out):
+        ref[:] = val
     er_ref[:] = er
     eg_ref[:] = eg
     eb_ref[:] = eb
@@ -763,11 +803,13 @@ def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
                 + [row_spec_f] * 8
                 + [pl.BlockSpec((n_u_tot, TILE_ROWS, LANE),
                                 lambda i: (0, i, 0))])
-    out_specs = [row_spec_f] * 14
+    n_img = 4 if st["has_image"] else 0
+    out_specs = [row_spec_f] * (14 + n_img)
     out_shapes = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
         [jax.ShapeDtypeStruct(shape, jnp.int32)] + \
         [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
-        [jax.ShapeDtypeStruct(shape, jnp.int32)]
+        [jax.ShapeDtypeStruct(shape, jnp.int32)] + \
+        [jax.ShapeDtypeStruct(shape, jnp.float32)] * n_img
 
     outs = pl.pallas_call(
         kernel,
@@ -779,13 +821,29 @@ def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
     )(prims, lights, med, bg.reshape(1, 3).astype(jnp.float32),
       *planes, u_stack)
 
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2) = outs
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2,
+     *img_outs) = outs
     unp = lambda x: x.reshape(n)[:n_orig]
     E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
     W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
-    return E, W, unp(cf) > 0, new_o, new_d, unp(alive2) > 0
+    img = tuple(unp(x) for x in img_outs) if img_outs else None
+    return E, W, unp(cf) > 0, new_o, new_d, unp(alive2) > 0, img
+
+
+def patch_image_weight(scene: T.Scene, W, img):
+    """Apply the XLA-side image-texture patch: W = texel(u, v) * ratio on
+    lanes the kernel flagged (texture.go:70-86 via sampling.image_value)."""
+    if img is None:
+        return W
+    from go_raytracer_tpu.integrator import sampling
+
+    ratio, uu, vv, img_id = img
+    is_img = img_id >= 0.0
+    idx = jnp.where(is_img, img_id, 0.0).astype(jnp.int32)
+    texel = sampling.image_value(scene, idx, uu, vv)
+    return jnp.where(is_img[:, None], texel * ratio[:, None], W)
 
 
 def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
@@ -794,7 +852,9 @@ def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
 
     scene_tables = pack_scene(scene); statics = scene_statics(scene);
     o, d: (N, 3); time, alive: (N,); u: (N, N_U + n_media) uniforms.
-    Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,)."""
+    Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,),
+    img (None, or the (ratio, u, v, img_id) planes for
+    `patch_image_weight`)."""
     prims, lights, med = scene_tables
     return _bounce_jit(prims, lights, med, o, d, time, alive, u, bg,
                        st_key=_statics_key(statics), interpret=interpret)
@@ -843,7 +903,7 @@ def _fused_kernel(st, has_defocus, max_depth,
                   # outputs
                   er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref, cf_ref,
                   nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
-                  ntm_ref, alive_out_ref, depth_out_ref):
+                  ntm_ref, alive_out_ref, depth_out_ref, *img_refs):
     # distinct stream per (step seed, global lane)
     shape = ox_ref.shape
     lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
@@ -894,9 +954,12 @@ def _fused_kernel(st, has_defocus, max_depth,
 
     u = [u01(N_U_RAYGEN + k) for k in range(N_U + st["n_media"])]
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out) = \
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
+     img_out) = \
         _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                      ox, oy, oz, dx, dy, dz, tm, alive, u)
+    for ref, val in zip(img_refs, img_out):
+        ref[:] = val
 
     # depth cap (camera.go:293-296): level depth+1 was just recorded; a path
     # gets exactly max_depth+1 levels
@@ -958,8 +1021,10 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [row_spec] * (9 + 5))
     f32 = jnp.float32
-    out_dtypes = [f32] * 6 + [jnp.int32] + [f32] * 7 + [jnp.int32] * 2
-    out_specs = [row_spec] * 16
+    n_img = 4 if st["has_image"] else 0
+    out_dtypes = [f32] * 6 + [jnp.int32] + [f32] * 7 + [jnp.int32] * 2 \
+        + [f32] * n_img
+    out_specs = [row_spec] * (16 + n_img)
     out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes]
 
     outs = pl.pallas_call(
@@ -973,14 +1038,15 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
       seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, ntm,
-     alive2, depth2) = outs
+     alive2, depth2, *img_outs) = outs
     unp = lambda x: x.reshape(n)
     E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
     W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
+    img = tuple(unp(x) for x in img_outs) if img_outs else None
     return (E, W, unp(cf) > 0, new_o, new_d, unp(ntm), unp(alive2),
-            unp(depth2))
+            unp(depth2), img)
 
 
 def bounce_fused(scene_tables, statics, cam_row, bg, seed,
@@ -989,7 +1055,8 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
     """One fused regeneration step. All lane arrays are (N,) / (N,3) with
     N a multiple of TILE_ROWS*128 (the regen pool is sized accordingly).
 
-    Returns (E, W, cf, new_o, new_d, new_time, alive', depth')."""
+    Returns (E, W, cf, new_o, new_d, new_time, alive', depth', img) where
+    img is None or the planes for `patch_image_weight`."""
     prims, lights, med = scene_tables
     return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                              o, d, time, alive_i32, depth, take_i32,

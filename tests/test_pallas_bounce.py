@@ -61,7 +61,7 @@ def test_pallas_bounce_matches_xla_bounce():
 
     E1, W1, cf1, no1, nd1, na1 = wavefront._bounce(s, o, d, t, alive, u)
 
-    E2, W2, cf2, no2, nd2, na2 = pb.bounce(
+    E2, W2, cf2, no2, nd2, na2, _ = pb.bounce(
         pb.pack_scene(s), pb.scene_statics(s), o, d, t, alive, u,
         s.background, interpret=True)
 
@@ -92,9 +92,10 @@ def _compare_bounce(s, n=512, seed=0, origin_rng=(50, 500), dir_scale=300,
     n_u = wavefront.N_FIXED_U + s.media.count
     u = jax.random.uniform(jax.random.key(3), (n, n_u))
     E1, W1, cf1, no1, nd1, na1 = wavefront._bounce(s, o, d, t, alive, u)
-    E2, W2, cf2, no2, nd2, na2 = pb.bounce(
+    E2, W2, cf2, no2, nd2, na2, img = pb.bounce(
         pb.pack_scene(s), pb.scene_statics(s), o, d, t, alive, u,
         s.background, interpret=True)
+    W2 = pb.patch_image_weight(s, W2, img)
     np.testing.assert_array_equal(np.asarray(na1), np.asarray(na2))
     np.testing.assert_array_equal(np.asarray(cf1), np.asarray(cf2))
     np.testing.assert_allclose(np.asarray(no1), np.asarray(no2),
@@ -162,6 +163,23 @@ def test_pallas_bounce_block_looped_sections_match_xla():
     st = pb.scene_statics(s)
     assert st["n_sph"] > pb.UNROLL_ROWS and st["n_quad"] > pb.UNROLL_ROWS
     _compare_bounce(s, seed=9, origin_rng=(-12, 12), dir_scale=8)
+
+
+def test_pallas_bounce_image_matches_xla():
+    """quads-class scene: image textures via the kernel's (uv, id, ratio)
+    outputs + the XLA patch_image_weight gather."""
+    rs = np.random.default_rng(1)
+    img = rs.uniform(0, 1, (16, 24, 3)).astype(np.float32)
+    b = SceneBuilder(background=(0.7, 0.8, 1.0))
+    earth = b.lambertian(tex=b.image_texture(img))
+    b.quad((-3, -2, 5), (0, 0, -4), (0, 4, 0), earth)
+    b.sphere((2, 0, 2), 1.5, b.lambertian(tex=b.image_texture(img)))
+    b.quad((-2, -3, 5), (4, 0, 0), (0, 0, -4), b.lambertian((0.2, 0.8, 0.8)))
+    lq = b.quad((-2, -2, 0), (4, 0, 0), (0, 4, 0), b.diffuse_light((3, 3, 3)))
+    b.add_light(lq)
+    s = b.build()
+    assert pb.supported(s)
+    _compare_bounce(s, seed=4, origin_rng=(-6, 6), dir_scale=4)
 
 
 def test_pallas_radiance_path_matches_xla():
