@@ -412,7 +412,8 @@ def _media_update(med_ref, n_media, rays, u, carry):
 
         near = jnp.where(is_box, near_b, near_s)
         far = jnp.where(is_box, far_b, far_s)
-        ok = jnp.where(is_box, ok_b, ok_s)
+        # no bool-valued selects (Mosaic can't legalize i1 vector selects)
+        ok = (is_box & ok_b) | (jnp.logical_not(is_box) & ok_s)
 
         t_best = carry[0]
         ok = ok & (far > near + 1e-4)        # second boundary hit (medium.go:34)

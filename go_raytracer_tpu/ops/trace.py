@@ -232,7 +232,20 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
         per_class.append((CLS_QUAD, ts.min(axis=1), jnp.argmin(ts, axis=1)))
     if scene.has_triangles:
         if scene.has_tri_bvh:
-            t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
+            if jax.default_backend() == "tpu":
+                # tile-coherent Pallas traversal: scalar-indexed walk, no
+                # per-ray gathers (the XLA lockstep walk below gathers by
+                # per-ray node ids, which both serializes and crashed the
+                # TPU worker in round 1)
+                from go_raytracer_tpu.ops.pallas import traverse as ptrav
+
+                nodes, tris = ptrav.pack_bvh(scene)
+                t_t, i_t = ptrav.bvh_closest(
+                    nodes, tris, o, d, n_nodes=scene.tri_bvh.n_nodes,
+                    leaf_size=scene.tri_bvh.leaf_size)
+                i_t = jnp.clip(i_t, 0, scene.triangles.count - 1)
+            else:
+                t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
             per_class.append((CLS_TRI, t_t, i_t))
         else:
             ts = ix.tri_ts(scene.triangles, o, d, t_min, t_max)

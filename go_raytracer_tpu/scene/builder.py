@@ -338,6 +338,44 @@ class SceneBuilder:
             mat_id_tri = np.zeros(1, dtype=np.int32)
             vn = np.zeros((1, 3, 3))
             uv = np.zeros((1, 3, 2))
+        # --- triangle BVH for large meshes. Built BEFORE the tri struct so
+        # the table can be permuted into leaf order: leaves then reference
+        # contiguous rows (first..first+count) and traversal needs no
+        # order[] indirection — one less gather on device.
+        has_tri_bvh = n_td >= bvh_threshold
+        tri_light_remap = None
+        if has_tri_bvh:
+            from go_raytracer_tpu.scene import bvh as bvh_mod
+
+            fb = bvh_mod.build(v[:n_td], leaf_size=bvh_leaf_size)
+            perm = fb.order[:n_td]
+            inv_perm = np.empty(n_td, dtype=np.int32)
+            inv_perm[perm] = np.arange(n_td, dtype=np.int32)
+            tri_light_remap = inv_perm
+
+            def permute(a):
+                out = a.copy()
+                out[:n_td] = a[perm]
+                return out
+
+            v = permute(v)
+            vn = permute(vn)
+            uv = permute(uv)
+            has_vn = permute(has_vn)
+            has_uv = permute(has_uv)
+            mat_id_tri = permute(mat_id_tri)
+            fb.order[:n_td] = np.arange(n_td, dtype=np.int32)
+            tri_bvh = T.TriBVH(
+                node_min=f(fb.node_min), node_max=f(fb.node_max),
+                first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
+                order=i32(fb.order), n_nodes=fb.n_nodes,
+                leaf_size=fb.leaf_size)
+        else:
+            tri_bvh = T.TriBVH(
+                node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),
+                first=i32([0]), count=i32([0]), skip=i32([1]),
+                order=i32([-1]), n_nodes=1, leaf_size=1)
+
         v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
         e0, e1 = v1 - v0, v2 - v0
         cn = np.cross(e0, e1)
@@ -356,23 +394,6 @@ class SceneBuilder:
             mat_id=i32(mat_id_tri),
             active=jnp.arange(v.shape[0]) < n_td,
         )
-
-        # --- triangle BVH for large meshes
-        has_tri_bvh = n_td >= bvh_threshold
-        if has_tri_bvh:
-            from go_raytracer_tpu.scene import bvh as bvh_mod
-
-            fb = bvh_mod.build(v[:n_td], leaf_size=bvh_leaf_size)
-            tri_bvh = T.TriBVH(
-                node_min=f(fb.node_min), node_max=f(fb.node_max),
-                first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
-                order=i32(fb.order), n_nodes=fb.n_nodes,
-                leaf_size=fb.leaf_size)
-        else:
-            tri_bvh = T.TriBVH(
-                node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),
-                first=i32([0]), count=i32([0]), skip=i32([1]),
-                order=i32([-1]), n_nodes=1, leaf_size=1)
 
         # --- media
         md = self._media or [dict(kind=T.MEDIUM_SPHERE, center=(0, 0, 0), radius=1.0,
@@ -434,8 +455,12 @@ class SceneBuilder:
             wh = np.ones((1, 2), dtype=np.int32)
         images = T.Images(data=f(data), wh=i32(wh))
 
-        # --- lights
+        # --- lights (triangle ids remapped if the tri table was permuted
+        # into BVH leaf order)
         lt = self._lights or [(T.LIGHT_QUAD, 0)]
+        if tri_light_remap is not None:
+            lt = [(k, int(tri_light_remap[p]) if k == T.LIGHT_TRIANGLE else p)
+                  for k, p in lt]
         lights = T.Lights(
             kind=i32([k for k, _ in lt]),
             prim_id=i32([p for _, p in lt]),

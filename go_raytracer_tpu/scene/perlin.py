@@ -45,8 +45,8 @@ def make_seed(rng: np.random.Generator) -> np.uint32:
 def _hash_corner(i, j, k, seed):
     """uint32 hash of a lattice corner; plays the role of
     perm_x[i&255] ^ perm_y[j&255] ^ perm_z[k&255] (perlin.go:45-49)."""
-    h = (i.astype(jnp.uint32) * _MX) ^ (j.astype(jnp.uint32) * _MY) \
-        ^ (k.astype(jnp.uint32) * _MZ) ^ seed
+    u32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.uint32)
+    h = (u32(i) * _MX) ^ (u32(j) * _MY) ^ (u32(k) * _MZ) ^ seed
     h = h ^ (h >> np.uint32(16))
     h = h * _F1
     h = h ^ (h >> np.uint32(15))
@@ -62,9 +62,12 @@ def _gradient(i, j, k, seed, dtype):
     table-indexed."""
     h = _hash_corner(i, j, k, seed)
     ten = np.uint32(0x3FF)
-    gx = (h & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
-    gy = ((h >> np.uint32(10)) & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
-    gz = ((h >> np.uint32(20)) & ten).astype(dtype) * (2.0 / 1024.0) - 1.0
+    # Mosaic has no uint32->f32 cast; the 10-bit fields are sign-safe, so
+    # bitcast to int32 first (identical value for <= 0x3FF)
+    as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32).astype(dtype)
+    gx = as_f(h & ten) * (2.0 / 1024.0) - 1.0
+    gy = as_f((h >> np.uint32(10)) & ten) * (2.0 / 1024.0) - 1.0
+    gz = as_f((h >> np.uint32(20)) & ten) * (2.0 / 1024.0) - 1.0
     inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
     return gx * inv, gy * inv, gz * inv
 

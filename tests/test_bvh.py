@@ -86,6 +86,42 @@ def test_bvh_closest_among_overlapping():
     assert float(h.t[0]) == 6.0  # first triangle at z=-1
 
 
+def test_pallas_traversal_matches_dense():
+    """Tile-coherent Pallas traversal (interpret mode) == dense GEMM
+    closest hit on a random mesh."""
+    from go_raytracer_tpu.ops.pallas import traverse as ptrav
+
+    s_bvh, s_dense = _scenes_with_and_without_bvh(300, seed=6)
+    rs = np.random.default_rng(7)
+    n = 1024
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+
+    nodes, tris = ptrav.pack_bvh(s_bvh)
+    t_p, i_p = ptrav.bvh_closest(nodes, tris, o, d,
+                                 n_nodes=s_bvh.tri_bvh.n_nodes,
+                                 leaf_size=s_bvh.tri_bvh.leaf_size,
+                                 interpret=True)
+
+    from go_raytracer_tpu.ops import intersect as ix
+    ts = ix.tri_ts(s_dense.triangles, o, d, 1e-3, np.inf)
+    t_d = np.asarray(ts.min(axis=1))
+    hits = np.isfinite(t_d)
+    t_p = np.asarray(t_p)
+    assert (np.isfinite(t_p) == hits).all()
+    np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
+    # winning triangles' leaf-order ids resolve to the same geometry: the
+    # builder permuted the BVH scene's table, so compare hit points
+    idx = np.asarray(i_p)[hits]
+    p_pallas = np.asarray(o)[hits] + t_p[hits, None] * np.asarray(d)[hits]
+    v0 = np.asarray(s_bvh.triangles.v0)[idx]
+    cn = np.asarray(s_bvh.triangles.cn)[idx]
+    # hit point lies on the winning triangle's plane
+    off = np.abs(((p_pallas - v0) * cn).sum(-1)) / (
+        np.linalg.norm(cn, axis=-1) + 1e-30)
+    assert off.max() < 1e-3
+
+
 def test_builder_threshold_controls_bvh():
     b = SceneBuilder()
     m = b.lambertian((1, 1, 1))
