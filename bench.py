@@ -63,6 +63,8 @@ def main():
             "max_depth": cam.max_depth,
             "elapsed_s": stats["elapsed_s"],
             "paths_per_s": stats["paths_per_s"],
+            "occupancy": stats.get("occupancy"),
+            "window_s": stats.get("window_s"),
             "backend": mode_used,
             "device": str(jax.devices()[0]),
         },

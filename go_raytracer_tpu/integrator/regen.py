@@ -46,11 +46,11 @@ from go_raytracer_tpu.scene import types as T
 
 @partial(jax.jit, donate_argnums=(2, 3),
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
-                          "window", "refill", "n_u", "max_depth",
+                          "window", "refill", "cadence", "n_u", "max_depth",
                           "max_contribution", "use_pallas", "interpret"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
-                width, npix, sqrt_spp, total_items, window, refill,
+                width, npix, sqrt_spp, total_items, window, refill, cadence,
                 n_u, max_depth, max_contribution, use_pallas, interpret):
     n = state[0].shape[0]
     dtype = state[0].dtype
@@ -134,7 +134,8 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rec = (E, W, cf & alive, take, ni_step)
         return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
 
-    do_refills = jnp.arange(window) < refill
+    steps = jnp.arange(window)
+    do_refills = (steps < refill) & (steps % cadence == 0)
     if use_pallas:
         seeds = jax.random.randint(base_key, (window,), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -168,27 +169,35 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rev_step, jnp.zeros((n, 3), dtype),
         (Es, Ws, CFs, STs, NIs), reverse=True)
 
+    # only refill steps can start paths: compact/write those rows only
+    # (static strided slice — drain-tail rows carry no harvests)
+    Hs = Hs[0:refill:cadence]
+    starts = starts[0:refill:cadence]
+    NIs_s = NIs[0:refill:cadence]
+
     keys = jnp.logical_not(starts).astype(jnp.int8)  # started rows first
     _, hr, hg, hb = jax.lax.sort(
         (keys, Hs[..., 0], Hs[..., 1], Hs[..., 2]),
         dimension=-1, num_keys=1, is_stable=True)
-    rows = jnp.stack([hr, hg, hb], axis=-1)  # (window, N, 3)
+    rows = jnp.stack([hr, hg, hb], axis=-1)  # (n_start_rows, N, 3)
 
     def write_row(acc_c, xs):
         row, ni_s = xs
         return jax.lax.dynamic_update_slice(acc_c, row, (ni_s, jnp.int32(0))), None
 
-    acc, _ = jax.lax.scan(write_row, acc, (rows, NIs))
+    acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
     return acc, state, next_item, jnp.sum(segs)
 
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 backend: str = "auto", dtype=jnp.float32):
+                 cadence: int = 1, backend: str = "auto", dtype=jnp.float32):
     """Render the full image with ray regeneration.
 
     Returns (linear image (H, W, 3), stats). `refill_len` defaults to
-    4*(max_depth+1) (measured best on the Cornell workload).
+    4*(max_depth+1) (measured best on the Cornell workload). `cadence` > 1
+    restarts lanes only every `cadence` steps — fewer harvest rows to
+    compact at the cost of lane idle time between paths.
     """
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
@@ -222,17 +231,21 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     next_item = jnp.int32(0)
     segments = 0
     n_windows = 0
+    window_times = []
     t0 = _time.perf_counter()
     while True:
+        wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
         acc, state, next_item, seg = _run_window(
             scene, arrays, acc, state, next_item, wkey,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
-            window=window, refill=refill, n_u=n_u, max_depth=cam.max_depth,
+            window=window, refill=refill, cadence=cadence, n_u=n_u,
+            max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
             interpret=jax.default_backend() != "tpu")
-        segments += int(seg)
+        segments += int(seg)      # device sync: readback bounds the window
         n_windows += 1
+        window_times.append(_time.perf_counter() - wt0)
         if int(next_item) >= total_items:
             break
     acc.block_until_ready()
@@ -249,6 +262,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         "rays_per_s": segments / elapsed if elapsed > 0 else float("nan"),
         "paths_per_s": total_items / elapsed if elapsed > 0 else float("nan"),
         "windows": n_windows,
+        "window_s": window_times,
         "occupancy": segments / (n_windows * window * n),
     }
     return linear, stats

@@ -115,9 +115,10 @@ def test_harvest_slot_routing_with_distinct_values():
         for gx in range(4):
             expected[gy * 4:(gy + 1) * 4, gx * 4:(gx + 1) * 4] = colors[gy * 4 + gx]
 
-    for lanes in (32, 256, 4096):
+    for lanes, cadence in ((32, 1), (256, 3), (4096, 1)):
         img, st = regen.render_regen(scene, cam, jax.random.key(2),
-                                     n_lanes=lanes, backend="xla")
+                                     n_lanes=lanes, cadence=cadence,
+                                     backend="xla")
         np.testing.assert_allclose(img, expected, atol=1e-5,
                                    err_msg=f"lanes={lanes}, windows={st['windows']}")
         assert st["paths"] == 16 * 16 * 4
