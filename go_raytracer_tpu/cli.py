@@ -30,8 +30,13 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["while", "scan"], default="while")
     ap.add_argument("--backend", choices=["auto", "xla", "pallas"], default="auto",
                     help="bounce backend: pallas megakernel when supported")
+    ap.add_argument("--integrator", choices=["regen", "wavefront"],
+                    default="regen",
+                    help="regen (default): persistent-lane ray regeneration "
+                         "— the production path; wavefront: plain per-batch "
+                         "wavefront loop")
     ap.add_argument("--regen", action="store_true",
-                    help="use the ray-regeneration integrator (experimental)")
+                    help="(compat alias for --integrator regen)")
     ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
     ap.add_argument("--lanes", type=int, default=1 << 17,
                     help="regen lane-pool size (multiple of 4096)")
@@ -81,7 +86,7 @@ def main(argv=None):
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
-    if args.regen:
+    if args.integrator == "regen" or args.regen:
         from go_raytracer_tpu.integrator import regen as regen_mod
         from go_raytracer_tpu.render import film
         import jax.numpy as jnp
@@ -89,7 +94,8 @@ def main(argv=None):
 
         linear, stats = regen_mod.render_regen(
             scene, cam, jax.random.key(args.seed), n_lanes=args.lanes,
-            backend=args.backend)
+            backend=args.backend, checkpoint_path=args.checkpoint or None,
+            scene_name=name, verbose=not args.quiet)
         film.write_image(args.out, np.asarray(film.tonemap(jnp.asarray(linear))))
     else:
         stats = renderer.render_to_file(

@@ -191,14 +191,23 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 cadence: int = 1, backend: str = "auto", dtype=jnp.float32):
-    """Render the full image with ray regeneration.
+                 cadence: int = 1, backend: str = "auto", dtype=jnp.float32,
+                 checkpoint_path=None, checkpoint_every: int = 4,
+                 scene_name: str = "", verbose: bool = False):
+    """Render the full image with ray regeneration — the production path.
 
     Returns (linear image (H, W, 3), stats). `refill_len` defaults to
     4*(max_depth+1) (measured best on the Cornell workload). `cadence` > 1
     restarts lanes only every `cadence` steps — fewer harvest rows to
     compact at the cost of lane idle time between paths.
+
+    Checkpoint/resume: between windows no path state is in flight (every
+    started path completes inside its window), so (accumulator, queue
+    cursor, window count) is a consistent checkpoint; a matching prior
+    checkpoint resumes the queue where it left off.
     """
+    from go_raytracer_tpu.render import checkpoint as checkpoint_mod
+    from go_raytracer_tpu.utils import progress
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
     npix = h * w
@@ -231,9 +240,21 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     next_item = jnp.int32(0)
     segments = 0
     n_windows = 0
+    meta = checkpoint_mod.meta_for(scene_name, cam)
+    meta["lanes"] = n
+    if checkpoint_path:
+        loaded = checkpoint_mod.load(checkpoint_path)
+        if loaded is not None and checkpoint_mod.compatible(loaded[2], meta) \
+                and loaded[0].shape == acc.shape:
+            acc_np, next_i, lmeta = loaded
+            acc = jnp.asarray(acc_np, dtype=dtype)
+            next_item = jnp.int32(next_i)
+            n_windows = int(lmeta.get("windows", 0))
+    bar = progress.Bar(total_items, enabled=verbose)
+    bar.tick(int(next_item))
     window_times = []
     t0 = _time.perf_counter()
-    while True:
+    while int(next_item) < total_items:
         wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
         acc, state, next_item, seg = _run_window(
@@ -246,9 +267,14 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         segments += int(seg)      # device sync: readback bounds the window
         n_windows += 1
         window_times.append(_time.perf_counter() - wt0)
-        if int(next_item) >= total_items:
-            break
+        bar.tick(int(next_item) - bar.done)
+        if checkpoint_path and (n_windows % checkpoint_every == 0
+                                or int(next_item) >= total_items):
+            meta["windows"] = n_windows
+            checkpoint_mod.save(checkpoint_path, np.asarray(acc),
+                                int(next_item), meta)
     acc.block_until_ready()
+    bar.close()
     elapsed = _time.perf_counter() - t0
 
     # item = stratum * npix + pixel -> average over strata

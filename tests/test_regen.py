@@ -234,6 +234,60 @@ def test_fused_kernel_matches_xla_statistically():
     np.testing.assert_allclose(m_f, m_x, rtol=0.06, atol=3e-3)
 
 
+def test_regen_checkpoint_resume_exact(tmp_path, monkeypatch):
+    """Interrupting after any window and resuming reproduces the
+    uninterrupted render bit-for-bit (same window RNG stream), and a
+    completed checkpoint resumes with zero new segments."""
+    import shutil
+    from go_raytracer_tpu.render import checkpoint as ck
+
+    scene = box_scene()
+    cam = Camera(width=8, aspect_ratio=1.0, samples_per_pixel=9, max_depth=3)
+    cam.position((0, 2, 6), (0, 1, 0))
+    key = jax.random.key(17)
+    # small lane pool so the queue spans several windows
+    img_ref, st_ref = regen.render_regen(scene, cam, key, n_lanes=64,
+                                         refill_len=4, backend="xla")
+    assert st_ref["windows"] >= 3
+
+    ckpt = str(tmp_path / "r.npz")
+    saved = []
+    real_save = ck.save
+
+    def capture_save(path, acc, next_item, meta):
+        real_save(path, acc, next_item, meta)
+        snap = str(tmp_path / f"snap{len(saved)}.npz")
+        shutil.copy(path, snap)
+        saved.append(snap)
+
+    monkeypatch.setattr(ck, "save", capture_save)
+    img_full, _ = regen.render_regen(scene, cam, key, n_lanes=64,
+                                     refill_len=4, backend="xla",
+                                     checkpoint_path=ckpt,
+                                     checkpoint_every=1, scene_name="box")
+    np.testing.assert_array_equal(img_full, img_ref)
+    assert len(saved) >= 3
+    monkeypatch.setattr(ck, "save", real_save)
+
+    # resume from the first (partial) snapshot: identical final image
+    shutil.copy(saved[0], ckpt)
+    img_res, st_res = regen.render_regen(scene, cam, key, n_lanes=64,
+                                         refill_len=4, backend="xla",
+                                         checkpoint_path=ckpt,
+                                         scene_name="box")
+    np.testing.assert_array_equal(img_res, img_ref)
+    # fewer windows actually executed in the resumed call
+    assert len(st_res["window_s"]) < st_ref["windows"]
+
+    # resume from the completed checkpoint: no new work
+    img_done, st_done = regen.render_regen(scene, cam, key, n_lanes=64,
+                                           refill_len=4, backend="xla",
+                                           checkpoint_path=ckpt,
+                                           scene_name="box")
+    np.testing.assert_array_equal(img_done, img_ref)
+    assert st_done["segments"] == 0
+
+
 def test_occupancy_beats_plain_wavefront():
     scene = box_scene()
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=16, max_depth=16)
