@@ -44,14 +44,13 @@ from go_raytracer_tpu.render import camera as camera_mod
 from go_raytracer_tpu.scene import types as T
 
 
-@partial(jax.jit, donate_argnums=(2, 3),
-         static_argnames=("width", "npix", "sqrt_spp", "total_items",
-                          "window", "refill", "cadence", "n_u", "max_depth",
-                          "max_contribution", "use_pallas", "interpret"))
-def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
-                acc, state, next_item, base_key, *,
-                width, npix, sqrt_spp, total_items, window, refill, cadence,
-                n_u, max_depth, max_contribution, use_pallas, interpret):
+def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
+                 acc, state, next_item, base_key, item_base, item_end, *,
+                 width, npix, sqrt_spp, window, refill, cadence,
+                 n_u, max_depth, max_contribution, use_pallas, interpret):
+    """One generation window over [item_base, item_end) — the shard-local
+    core shared by the single-device and shard_map paths. `acc` rows are
+    relative to item_base."""
     n = state[0].shape[0]
     dtype = state[0].dtype
 
@@ -69,7 +68,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         dead = ~alive
         rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
         item = next_item + rank
-        take = do_refill & dead & (item < total_items)
+        take = do_refill & dead & (item < item_end)
         stratum = item // npix
         pid = item % npix
         s_i = (stratum // sqrt_spp).astype(dtype)
@@ -183,10 +182,152 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
 
     def write_row(acc_c, xs):
         row, ni_s = xs
-        return jax.lax.dynamic_update_slice(acc_c, row, (ni_s, jnp.int32(0))), None
+        return jax.lax.dynamic_update_slice(
+            acc_c, row, (ni_s - item_base, jnp.int32(0))), None
 
     acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
     return acc, state, next_item, jnp.sum(segs)
+
+
+@partial(jax.jit, donate_argnums=(2, 3),
+         static_argnames=("width", "npix", "sqrt_spp", "total_items",
+                          "window", "refill", "cadence", "n_u", "max_depth",
+                          "max_contribution", "use_pallas", "interpret"))
+def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
+                acc, state, next_item, base_key, *,
+                width, npix, sqrt_spp, total_items, window, refill, cadence,
+                n_u, max_depth, max_contribution, use_pallas, interpret):
+    return _window_impl(
+        scene, arrays, acc, state, next_item, base_key,
+        jnp.int32(0), jnp.int32(total_items),
+        width=width, npix=npix, sqrt_spp=sqrt_spp, window=window,
+        refill=refill, cadence=cadence, n_u=n_u, max_depth=max_depth,
+        max_contribution=max_contribution, use_pallas=use_pallas,
+        interpret=interpret)
+
+
+def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
+                         n_lanes: int = 1 << 17, refill_len: int = 0,
+                         cadence: int = 1, backend: str = "auto",
+                         dtype=jnp.float32):
+    """Multi-device regeneration render over a 1-D `jax.sharding.Mesh`.
+
+    TPU-native scaling design: the (pixel, stratum) queue is split into one
+    contiguous item range per device and each device runs an INDEPENDENT
+    persistent-lane queue over its range (its own lane pool, refill cursor,
+    RNG stream via fold_in on the mesh axis index) — zero per-step
+    collectives; data only crosses ICI when the final sharded accumulator
+    is assembled into the image. This is the regen analog of SURVEY.md §2's
+    pixel/sample sharding, applied to the fast path.
+
+    Returns (linear image (H, W, 3), stats) with per-shard item/segment
+    accounting in stats."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    for a in mesh.axis_names[1:]:
+        if mesh.shape[a] != 1:
+            raise ValueError("render_regen_sharded expects a 1-D mesh")
+    n_dev = mesh.shape[axis]
+    arrays = cam.derived(dtype=dtype)
+    h, w = cam.image_height, cam.width
+    npix = h * w
+    sqrt_spp = cam.spp_sqrt
+    n_strata = sqrt_spp * sqrt_spp
+    total_items = npix * n_strata
+    d1 = cam.max_depth + 1
+    refill = refill_len or 4 * d1
+    window = refill + d1
+    n = n_lanes  # per device
+    n_u = wavefront.N_FIXED_U + scene.media.count
+    chunk = (total_items + n_dev - 1) // n_dev
+
+    from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    statics = dict(width=w, npix=npix, sqrt_spp=sqrt_spp, window=window,
+                   refill=refill, cadence=cadence, n_u=n_u,
+                   max_depth=cam.max_depth,
+                   max_contribution=cam.max_contribution,
+                   use_pallas=use_pallas,
+                   interpret=jax.default_backend() != "tpu")
+
+    dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
+    state = (
+        dev(jnp.zeros((n, 3), dtype)),
+        dev(jnp.ones((n, 3), dtype)),
+        dev(jnp.zeros((n,), dtype)),
+        dev(jnp.zeros((n,), bool)),
+        dev(jnp.zeros((n,), jnp.int32)),
+        dev(jnp.zeros((n,), jnp.int32)),
+    )
+    acc = jnp.zeros((n_dev, chunk + n, 3), dtype)
+    next_items = jnp.arange(n_dev, dtype=jnp.int32) * chunk
+
+    spec = P(axis)
+    rep = P()
+    shard = NamedSharding(mesh, spec)
+    acc = jax.device_put(acc, shard)
+    state = tuple(jax.device_put(s, shard) for s in state)
+    next_items = jax.device_put(next_items, shard)
+
+    def body(scene_a, arrays_a, acc_s, state_s, next_s, wkey):
+        i = jax.lax.axis_index(axis)
+        base = i * jnp.int32(chunk)
+        end = jnp.minimum(base + chunk, total_items)
+        bkey = jax.random.fold_in(wkey, i)
+        acc2, state2, next2, seg = _window_impl(
+            scene_a, arrays_a, acc_s[0], tuple(x[0] for x in state_s),
+            next_s[0], bkey, base, end, **statics)
+        # replicated outputs (psum over ICI) so the host loop never reads a
+        # sharded array — required for multi-host operation
+        seg_all = jax.lax.psum(seg, axis)
+        done_all = jax.lax.psum((next2 >= end).astype(jnp.int32), axis)
+        return (acc2[None], tuple(x[None] for x in state2), next2[None],
+                seg_all, done_all)
+
+    sharded_window = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, spec, spec, spec, rep),
+        out_specs=(spec, spec, spec, rep, rep),
+        check_rep=False))
+
+    segments = 0
+    n_windows = 0
+    window_times = []
+    t0 = _time.perf_counter()
+    while True:
+        wt0 = _time.perf_counter()
+        wkey = jax.random.fold_in(key, n_windows)
+        acc, state, next_items, seg_all, done_all = sharded_window(
+            scene, arrays, acc, state, next_items, wkey)
+        segments += int(seg_all)
+        n_windows += 1
+        window_times.append(_time.perf_counter() - wt0)
+        if int(done_all) == n_dev:
+            break
+    elapsed = _time.perf_counter() - t0
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        acc = multihost_utils.process_allgather(acc, tiled=False)
+    acc_np = np.asarray(acc)[:, :chunk].reshape(n_dev * chunk, 3)
+    linear = acc_np[:total_items].reshape(n_strata, npix, 3).mean(axis=0)
+    linear = linear.reshape(h, w, 3)
+    stats = {
+        "elapsed_s": elapsed,
+        "segments": segments,
+        "paths": total_items,
+        "rays_per_s": segments / elapsed if elapsed > 0 else float("nan"),
+        "paths_per_s": total_items / elapsed if elapsed > 0 else float("nan"),
+        "windows": n_windows,
+        "window_s": window_times,
+        "devices": n_dev,
+        "occupancy": segments / max(n_windows * window * n * n_dev, 1),
+    }
+    return linear, stats
 
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,

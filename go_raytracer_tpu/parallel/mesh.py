@@ -30,12 +30,16 @@ from go_raytracer_tpu.scene import types as T
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axes: Tuple[str, str] = ("data", "sample")) -> Mesh:
-    """2D mesh over the first n devices: "data" shards pixels/rays, "sample"
-    shards stratified sample batches. Picks the most square factorization."""
+              axes: Tuple[str, ...] = ("data", "sample")) -> Mesh:
+    """Mesh over the first n devices. With the default two axes, "data"
+    shards pixels/rays and "sample" shards stratified sample batches
+    (most-square factorization); a single axis gives a flat 1-D mesh
+    (e.g. for the per-device regen queues)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
+    if len(axes) == 1:
+        return Mesh(np.array(devs), axes)
     best = (n, 1)
     for d in range(1, int(np.sqrt(n)) + 1):
         if n % d == 0:

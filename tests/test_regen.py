@@ -288,6 +288,39 @@ def test_regen_checkpoint_resume_exact(tmp_path, monkeypatch):
     assert st_done["segments"] == 0
 
 
+def test_sharded_regen_exact_bookkeeping():
+    """8-device shard_map regen: per-device queues over disjoint item
+    ranges; an all-miss scene must produce exactly the background and
+    exactly one segment per path across all shards."""
+    from go_raytracer_tpu.parallel import mesh as pmesh
+
+    scene = empty_scene(bg=(0.25, 0.5, 0.75))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    m = pmesh.make_mesh(8, axes=("data",))
+    img, st = regen.render_regen_sharded(scene, cam, m, jax.random.key(0),
+                                         n_lanes=64, backend="xla")
+    np.testing.assert_allclose(img[..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], 0.75, atol=1e-6)
+    assert st["segments"] == 16 * 16 * 9
+    assert st["devices"] == 8
+
+
+def test_sharded_regen_matches_single_device_statistically():
+    from go_raytracer_tpu.parallel import mesh as pmesh
+
+    scene = box_scene()
+    cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=49, max_depth=6)
+    cam.position((0, 2, 6), (0, 1, 0))
+    m = pmesh.make_mesh(8, axes=("data",))
+    img_s, _ = regen.render_regen_sharded(scene, cam, m, jax.random.key(41),
+                                          n_lanes=256, backend="xla")
+    img_1, _ = regen.render_regen(scene, cam, jax.random.key(42),
+                                  n_lanes=2048, backend="xla")
+    np.testing.assert_allclose(img_s.mean(axis=(0, 1)),
+                               img_1.mean(axis=(0, 1)), rtol=0.1, atol=5e-3)
+
+
 def test_occupancy_beats_plain_wavefront():
     scene = box_scene()
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=16, max_depth=16)
