@@ -59,7 +59,10 @@ def refract(v: jnp.ndarray, n: jnp.ndarray, eta_ratio: jnp.ndarray) -> jnp.ndarr
     eta = jnp.asarray(eta_ratio)[..., None] if jnp.ndim(eta_ratio) == v.ndim - 1 else eta_ratio
     cos_theta = jnp.minimum(dot(-v, n, keepdims=True), 1.0)
     r_perp = eta * (v + cos_theta * n)
-    r_par = -jnp.sqrt(jnp.abs(1.0 - length_squared(r_perp, keepdims=True))) * n
+    # max() guards sqrt's inf derivative at the exact TIR boundary (the
+    # value change is < 4e-4 in the vanishing parallel component)
+    r_par = -jnp.sqrt(jnp.maximum(
+        jnp.abs(1.0 - length_squared(r_perp, keepdims=True)), 1e-7)) * n
     return r_perp + r_par
 
 

@@ -102,7 +102,9 @@ def _quad_light_pdf(scene, lt_pid, o, d):
 
     dn = d @ n.T
     on = o @ n.T
-    t = (dpl[None, :] - on) / dn
+    # safe-where: masked parallel lanes must not emit inf/NaN cotangents
+    dn_safe = jnp.where(jnp.abs(dn) >= ix.PARALLEL_EPS, dn, 1.0)
+    t = (dpl[None, :] - on) / dn_safe
     alpha = (o @ cvw.T) + t * (d @ cvw.T) - vm.dot(q, cvw)[None, :]
     beta = (o @ cwu.T) + t * (d @ cwu.T) - vm.dot(q, cwu)[None, :]
     hit = ((jnp.abs(dn) >= ix.PARALLEL_EPS) & (t >= 1e-3)
@@ -110,7 +112,7 @@ def _quad_light_pdf(scene, lt_pid, o, d):
     dlen_sq = vm.length_squared(d, keepdims=True)
     dlen = jnp.sqrt(dlen_sq)
     # dist^2/(cos*area) with dist^2 = t^2|d|^2, cos = |d.n|/|d|
-    pdf = t * t * dlen_sq * dlen / (jnp.abs(dn) * area[None, :])
+    pdf = t * t * dlen_sq * dlen / (jnp.abs(dn_safe) * area[None, :])
     return jnp.where(hit, pdf, 0.0)
 
 

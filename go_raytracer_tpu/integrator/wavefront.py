@@ -129,18 +129,38 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
         ud = vm.normalize(d)
         ri = jnp.where(hit.front_face, 1.0 / ref_idx, ref_idx)
         cos_t = jnp.minimum(vm.dot(-ud, hit.normal), 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
         # Schlick uses the *material* index regardless of travel direction
         # (materials.go:126-130) — a reference quirk we preserve.
         r0 = ((1.0 - ref_idx) / (1.0 + ref_idx)) ** 2
         schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
-        must_reflect = ri * sin_t > 1.0
+        # TIR test on squares: ri*sin > 1 <=> ri^2*(1-cos^2) > 1 — avoids
+        # sqrt(0) at normal incidence, whose inf derivative NaNs ref_idx
+        # gradients even under a zero cotangent
+        must_reflect = ri * ri * (1.0 - cos_t * cos_t) > 1.0
         do_reflect = must_reflect | (schlick > u[:, U_DIEL])
         d_diel = jnp.where(do_reflect[:, None],
                            vm.reflect(ud, hit.normal),
                            vm.refract(ud, hit.normal, ri[:, None]))
-        W = jnp.where(is_diel[:, None], jnp.ones_like(tex_val), W)  # (1,1,1)
+        # Score-function factor for the reflect/refract choice: value 1,
+        # gradient d(log p_branch)/d(ref_idx) * L — the unbiased estimator
+        # for the Bernoulli branch (SURVEY §7 "Differentiating discrete
+        # sampling"); the pathwise term through refract() covers the
+        # within-branch sensitivity.
+        p_sel = jnp.where(must_reflect, 1.0,
+                          jnp.where(do_reflect, schlick, 1.0 - schlick))
+        sur_d = p_sel / jax.lax.stop_gradient(jnp.maximum(p_sel, 1e-12))
+        W = jnp.where(is_diel[:, None],
+                      sur_d[:, None] * jnp.ones_like(tex_val), W)
         new_d = jnp.where(is_diel[:, None], d_diel, new_d)
+
+    if scene.has_media:
+        # score-function factor for media transit (value 1; gradient
+        # d(med_logp)/d(density) * contribution) — applies to both this
+        # vertex's emission and everything downstream
+        sur_m = jnp.exp(hit.med_logp
+                        - jax.lax.stop_gradient(hit.med_logp))[:, None]
+        E = E * sur_m
+        W = W * sur_m
 
     new_o = jnp.where(lit[:, None], hit.p, o)
     alive_next = is_metal | is_diel | diffuse

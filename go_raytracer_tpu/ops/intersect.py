@@ -80,7 +80,10 @@ def quad_ts(qd: T.Quads, o: jnp.ndarray, d: jnp.ndarray,
     """
     dn = _mm(d, qd.normal)
     on = _mm(o, qd.normal)
-    t = (qd.d_plane[None, :] - on) / dn
+    # safe-where: parallel rays (masked below) must not produce inf t —
+    # 0 * inf cotangents would NaN gradients of geometric params
+    dn_safe = jnp.where(jnp.abs(dn) >= PARALLEL_EPS, dn, 1.0)
+    t = (qd.d_plane[None, :] - on) / dn_safe
 
     o_cvw = _mm(o, qd.cvw)
     d_cvw = _mm(d, qd.cvw)
@@ -116,7 +119,8 @@ def tri_ts(tr: T.Triangles, o: jnp.ndarray, d: jnp.ndarray,
     v_det = -_mm(m, tr.e0) - _mm(d, tr.c_v0e0)
     t_det = _mm(o, tr.cn) - tr.k[None, :]
 
-    inv = 1.0 / det
+    # safe-where (see quad_ts): masked parallel lanes must stay finite
+    inv = 1.0 / jnp.where(jnp.abs(det) >= PARALLEL_EPS, det, 1.0)
     u = u_det * inv
     v = v_det * inv
     t = t_det * inv

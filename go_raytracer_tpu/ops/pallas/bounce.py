@@ -662,10 +662,10 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
         udx, udy, udz = _normalize3(dx, dy, dz)
         ri = jnp.where(front, 1.0 / m_ridx, m_ridx)
         cos_d = jnp.minimum(-_dot3(udx, udy, udz, n_hx, n_hy, n_hz), 1.0)
-        sin_d = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_d * cos_d))
         r0 = ((1.0 - m_ridx) / (1.0 + m_ridx)) ** 2
         schlick = r0 + (1.0 - r0) * (1.0 - cos_d) ** 5
-        do_reflect = (ri * sin_d > 1.0) | (schlick > u[2])
+        # TIR on squares (matches wavefront.py exactly)
+        do_reflect = (ri * ri * (1.0 - cos_d * cos_d) > 1.0) | (schlick > u[2])
         # reflect
         dn_d = _dot3(udx, udy, udz, n_hx, n_hy, n_hz)
         rfx = udx - 2.0 * dn_d * n_hx

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from go_raytracer_tpu.scene import types as T
 
@@ -40,10 +41,24 @@ TRI_COLS = 9           # v0(3), e0(3), e1(3)
 T_MIN = 1.0e-3
 
 
+ROW_PAD = 16           # logical row padded to 16 cols; 8 rows per 128-lane line
+
+
+def _pack_lines(rows: jnp.ndarray) -> jnp.ndarray:
+    """Pack (M, <=16) logical rows into (ceil(M/8), 128) lines — a narrow
+    (M, 9) VMEM array would pad its 9-lane minor dim to 128 (14x waste;
+    the 65k-tri statue's table alone would blow the 16MB VMEM budget).
+    The kernel addresses row i at line i>>3, lane offset (i&7)*16 via a
+    dynamic rotate."""
+    m, c = rows.shape
+    rows = jnp.pad(rows, ((0, (-m) % 8), (0, ROW_PAD - c)))
+    return rows.reshape(-1, 8 * ROW_PAD)
+
+
 def pack_bvh(scene: T.Scene):
-    """Device tables for the kernel: node rows (M, 9) and leaf-ordered
-    triangle geometry rows (Tp, 9), both f32 (first/count/skip are exact
-    in f32 for <2^24 rows)."""
+    """Device tables for the kernel: node rows [min(3), max(3), first,
+    count, skip] and leaf-ordered triangle rows [v0, e0, e1], both f32
+    (ints exact in f32 for <2^24 rows), packed 8-per-128-lane-line."""
     bvh = scene.tri_bvh
     tr = scene.triangles
     nodes = jnp.concatenate([
@@ -57,7 +72,15 @@ def pack_bvh(scene: T.Scene):
     # pad rows (e0 = e1 = 0 -> det 0 -> never hit) keep them in range
     tris = jnp.concatenate(
         [tris, jnp.zeros((bvh.leaf_size, TRI_COLS), jnp.float32)])
-    return nodes, tris
+    return _pack_lines(nodes), _pack_lines(tris)
+
+
+def _row(ref, idx):
+    """Scalar accessor for packed logical row `idx`: dynamic-rotate the
+    row's 16-col field to lane 0, then static extracts."""
+    line = ref[pl.ds(idx >> 3, 1), :]
+    rot = pltpu.roll(line, 128 - ((idx & 7) << 4), 1)
+    return lambda c: rot[0, c]
 
 
 def _traverse_kernel(n_nodes, leaf_size,
@@ -82,8 +105,7 @@ def _traverse_kernel(n_nodes, leaf_size,
 
     def body(state):
         node, t_best, idx = state
-        row_ = node_ref[pl.ds(node, 1), :]
-        row = lambda c: row_[0, c]
+        row = _row(node_ref, node)
         # slab test (aabb.go:90-113): hit iff max(near, tmin) < min(far, t_best)
         tx0 = (row(0) - ox) * ix
         tx1 = (row(3) - ox) * ix
@@ -106,8 +128,7 @@ def _traverse_kernel(n_nodes, leaf_size,
             t_best, idx = carry
             first = row(6).astype(jnp.int32)
             for k in range(leaf_size):
-                trow_ = tri_ref[pl.ds(first + k, 1), :]
-                trow = lambda c: trow_[0, c]
+                trow = _row(tri_ref, first + k)
                 # Moller-Trumbore (objects.go:408-461) with scalar tri data
                 v0x, v0y, v0z = trow(0), trow(1), trow(2)
                 e0x, e0y, e0z = trow(3), trow(4), trow(5)

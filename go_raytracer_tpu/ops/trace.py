@@ -47,6 +47,9 @@ class Hit:
     u: jnp.ndarray           # (N,)
     v: jnp.ndarray           # (N,)
     mat_id: jnp.ndarray      # (N,) int32
+    # log-likelihood of the observed media-transit outcome (score-function
+    # channel for d/d(density); 0 when the scene has no media)
+    med_logp: jnp.ndarray = None
 
 
 def _sphere_attrs(sp: T.Spheres, o, d, time, t, idx):
@@ -150,6 +153,56 @@ def bvh_tri_closest(scene: T.Scene, o, d, t_min, t_max):
     return t_best, idx_best
 
 
+def _part1by2(x):
+    """Spread 10 bits of x two apart (standard Morton magic numbers)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def pallas_bvh_closest(scene: T.Scene, o, d):
+    """Closest triangle hit via the tile-coherent Pallas traversal
+    (ops/pallas/traverse.py), with a coherence sort first: the kernel
+    shares one walk per 1024-lane tile, so bounce rays — arbitrary order
+    after a few scatters — are grouped by (direction octant, 5-bit Morton
+    cell of the origin inside the root box) to shrink each tile's visited
+    node set. Sort + unsort are lane-wide lax.sorts (~0.5 ms at 128k),
+    repaying themselves many times over on incoherent wavefronts."""
+    from go_raytracer_tpu.ops.pallas import traverse as ptrav
+
+    bvh = scene.tri_bvh
+    n = o.shape[0]
+    lo = bvh.node_min[0]
+    ext = jnp.maximum(bvh.node_max[0] - lo, 1e-6)
+    q = jnp.clip(((o - lo) / ext * 32.0), 0.0, 31.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) | \
+        _part1by2(q[:, 2])
+    octant = ((d[:, 0] > 0).astype(jnp.int32) << 2) \
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1) \
+        | (d[:, 2] > 0).astype(jnp.int32)
+    key = (octant << 15) | morton
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    (_, perm, ox, oy, oz, dx, dy, dz) = jax.lax.sort(
+        (key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]),
+        dimension=0, num_keys=1, is_stable=False)
+    o_s = jnp.stack([ox, oy, oz], axis=-1)
+    d_s = jnp.stack([dx, dy, dz], axis=-1)
+
+    nodes, tris = ptrav.pack_bvh(scene)
+    t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s,
+                                 n_nodes=bvh.n_nodes,
+                                 leaf_size=bvh.leaf_size,
+                                 interpret=jax.default_backend() != "tpu")
+    # unsort: ordering by the permutation restores original lane order
+    _, t_t, i_t = jax.lax.sort((perm, t_s, i_s), dimension=0, num_keys=1,
+                               is_stable=False)
+    return t_t, jnp.clip(i_t, 0, scene.triangles.count - 1)
+
+
 def _tri_attrs(tr: T.Triangles, o, d, t, idx):
     # Recompute barycentrics per winning triangle with the well-conditioned
     # local form (objects.go:408-446); the min-reduce pass only resolved t.
@@ -173,10 +226,15 @@ def _tri_attrs(tr: T.Triangles, o, d, t, idx):
 
 def media_candidates(scene: T.Scene, o, d, t_solid, u_med, t_min=T_MIN):
     """Per-medium scattering-candidate distances (N, M); +inf = no event.
+    Also returns (t0, t1, span_ok, ray_len) for the transit-likelihood
+    gradient channel.
 
     Mirrors medium.go:27-58: boundary span (analytic), clamp by
     [rayT.Min, closest-solid], exponential free flight
-    hitDistance = -1/rho * ln(U).
+    hitDistance = -1/rho * ln(U). The sampled distance is stop_grad'd:
+    density sensitivity flows exclusively through the score-function
+    factor (ops/trace.trace med_logp -> wavefront._bounce), so the
+    pathwise and likelihood channels never double-count.
     """
     med = scene.media
     o_b = o[:, None, :]
@@ -213,10 +271,12 @@ def media_candidates(scene: T.Scene, o, d, t_solid, u_med, t_min=T_MIN):
 
     ray_len = vm.length(d)[:, None]
     dist_inside = (t1 - t0) * ray_len
-    hit_dist = med.neg_inv_density[None, :] * jnp.log(u_med)
-    ok = ok & (hit_dist <= dist_inside) & med.active[None, :]
+    hit_dist = jax.lax.stop_gradient(
+        med.neg_inv_density[None, :] * jnp.log(u_med))
+    span_ok = ok & med.active[None, :]
+    ok = span_ok & (hit_dist <= dist_inside)
     t_cand = t0 + hit_dist / ray_len
-    return jnp.where(ok, t_cand, INF)
+    return jnp.where(ok, t_cand, INF), (t0, t1, span_ok, ray_len)
 
 
 def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
@@ -233,17 +293,7 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
     if scene.has_triangles:
         if scene.has_tri_bvh:
             if jax.default_backend() == "tpu":
-                # tile-coherent Pallas traversal: scalar-indexed walk, no
-                # per-ray gathers (the XLA lockstep walk below gathers by
-                # per-ray node ids, which both serializes and crashed the
-                # TPU worker in round 1)
-                from go_raytracer_tpu.ops.pallas import traverse as ptrav
-
-                nodes, tris = ptrav.pack_bvh(scene)
-                t_t, i_t = ptrav.bvh_closest(
-                    nodes, tris, o, d, n_nodes=scene.tri_bvh.n_nodes,
-                    leaf_size=scene.tri_bvh.leaf_size)
-                i_t = jnp.clip(i_t, 0, scene.triangles.count - 1)
+                t_t, i_t = pallas_bvh_closest(scene, o, d)
             else:
                 t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
             per_class.append((CLS_TRI, t_t, i_t))
@@ -261,16 +311,30 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
         loc = jnp.where(closer, i_c, loc)
 
     if scene.has_media:
-        med_ts = media_candidates(scene, o, d, t_solid, u_med, t_min)
+        med_ts, (m_t0, m_t1, m_ok, ray_len) = media_candidates(
+            scene, o, d, t_solid, u_med, t_min)
         med_idx = jnp.argmin(med_ts, axis=1)
         t_med = jnp.take_along_axis(med_ts, med_idx[:, None], axis=1)[:, 0]
         is_medium = t_med < t_solid
         t = jnp.where(is_medium, t_med, t_solid)
         cls = jnp.where(is_medium, CLS_MEDIUM, cls)
+        # transit log-likelihood of the observed outcome at event t:
+        # transmittance exp(-rho * overlap) per crossed medium, plus the
+        # winner's free-flight density factor rho (score-function channel
+        # for d/d(density); SURVEY §7 "Differentiating ... free-flight")
+        rho = -1.0 / scene.media.neg_inv_density  # (M,)
+        t_evt = jax.lax.stop_gradient(t)
+        overlap = jnp.clip(jnp.minimum(m_t1, t_evt[:, None]) - m_t0,
+                           0.0, None) * ray_len
+        overlap = jax.lax.stop_gradient(jnp.where(m_ok, overlap, 0.0))
+        med_logp = -jnp.sum(rho[None, :] * overlap, axis=1)
+        med_logp = med_logp + jnp.where(
+            is_medium, jnp.log(rho[med_idx]), 0.0)
     else:
         med_idx = jnp.zeros((n,), dtype=jnp.int32)
         is_medium = jnp.zeros((n,), dtype=bool)
         t = t_solid
+        med_logp = jnp.zeros((n,), dtype=o.dtype)
 
     hit = jnp.isfinite(t) & (cls != CLS_NONE)
     t_safe = jnp.where(hit, t, 1.0)
@@ -308,4 +372,4 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
     p, normal, front, uu, vv, mat = cur
 
     return Hit(hit=hit, is_medium=is_medium & hit, t=t, p=p, normal=normal,
-               front_face=front, u=uu, v=vv, mat_id=mat)
+               front_face=front, u=uu, v=vv, mat_id=mat, med_logp=med_logp)

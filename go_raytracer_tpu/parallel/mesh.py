@@ -93,12 +93,15 @@ def render_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh: Mesh,
 
 def extract_params(scene: T.Scene):
     """Differentiable scene parameters for inverse rendering: texture
-    colors (albedos + emission), metal fuzz, and background."""
+    colors (albedos + emission), metal fuzz, dielectric index, medium
+    density (as -1/density), and background."""
     return {
         "tex_color": scene.textures.color,
         "tex_even": scene.textures.even,
         "tex_odd": scene.textures.odd,
         "fuzz": scene.materials.fuzz,
+        "ref_idx": scene.materials.ref_idx,
+        "med_neg_inv_density": scene.media.neg_inv_density,
         "background": scene.background,
     }
 
@@ -108,7 +111,10 @@ def apply_params(scene: T.Scene, params) -> T.Scene:
         textures=scene.textures.replace(
             color=params["tex_color"], even=params["tex_even"],
             odd=params["tex_odd"]),
-        materials=scene.materials.replace(fuzz=params["fuzz"]),
+        materials=scene.materials.replace(fuzz=params["fuzz"],
+                                          ref_idx=params["ref_idx"]),
+        media=scene.media.replace(
+            neg_inv_density=params["med_neg_inv_density"]),
         background=params["background"],
     )
 

@@ -122,6 +122,26 @@ def test_pallas_traversal_matches_dense():
     assert off.max() < 1e-3
 
 
+def test_coherence_sorted_traversal_matches_dense():
+    """pallas_bvh_closest (coherence sort + kernel + unsort) returns each
+    ray's own closest hit in original lane order."""
+    from go_raytracer_tpu.ops import trace as trace_mod
+    from go_raytracer_tpu.ops import intersect as ix
+
+    s_bvh, s_dense = _scenes_with_and_without_bvh(200, seed=11)
+    rs = np.random.default_rng(12)
+    n = 2048
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    t_p, i_p = trace_mod.pallas_bvh_closest(s_bvh, o, d)
+    ts = ix.tri_ts(s_dense.triangles, o, d, 1e-3, np.inf)
+    t_d = np.asarray(ts.min(axis=1))
+    hits = np.isfinite(t_d)
+    t_p = np.asarray(t_p)
+    assert (np.isfinite(t_p) == hits).all()
+    np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
+
+
 def test_builder_threshold_controls_bvh():
     b = SceneBuilder()
     m = b.lambertian((1, 1, 1))

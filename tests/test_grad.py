@@ -65,6 +65,159 @@ def test_grad_background():
     assert bool(jnp.isfinite(g["background"]).all())
 
 
+def _fd_check(f, params, path, idx, eps, rel, abs_tol=1e-4, min_mag=1e-5):
+    g = jax.grad(f)(params)
+    p_plus = dict(params)
+    p_minus = dict(params)
+    p_plus[path] = params[path].at[idx].add(eps)
+    p_minus[path] = params[path].at[idx].add(-eps)
+    fd = (float(f(p_plus)) - float(f(p_minus))) / (2 * eps)
+    an = float(g[path][idx])
+    assert np.isfinite(an), (path, idx)
+    assert an == pytest.approx(fd, rel=rel, abs=abs_tol), (path, idx, an, fd)
+    assert abs(an) > min_mag, f"gradient unexpectedly zero for {path}{idx}"
+
+
+def test_grad_fuzz_matches_fd():
+    """Metal fuzz is reparameterized (reflect + fuzz * unit_vec): the
+    pathwise gradient flows fuzz -> bounce direction -> diffuse-wall hit
+    point -> smoothly varying light-sampling geometry. Checked against
+    central differences with common random numbers."""
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    b.quad((-20, 0, -20), (40, 0, 0), (0, 0, 40),
+           b.metal((0.9, 0.9, 0.9), 0.3))                # fuzzy floor
+    b.quad((-20, -20, -8), (40, 0, 0), (0, 40, 0),
+           b.lambertian((0.7, 0.7, 0.7)))                # back wall
+    # ceiling light FACING DOWN so wall-scattered rays see its front face;
+    # the wall hit point (a smooth function of fuzz via the bounce
+    # direction) then modulates the light-sampling pdf smoothly
+    q = b.quad((-1, 7, -5), (2, 0, 0), (0, 0, 2), b.diffuse_light((8, 8, 8)))
+    b.add_light(q)
+    scene = b.build()
+    params = pmesh.extract_params(scene)
+
+    def f(p):
+        sc = pmesh.apply_params(scene, p)
+        n = 4096
+        o = jnp.tile(jnp.asarray([[0.0, 3.0, 4.0]]), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, -0.55, -1.0]]), (n, 1))
+        L, _ = wavefront.radiance(sc, o, d, jnp.zeros(n), jax.random.key(7),
+                                  3, 10.0, mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    _fd_check(f, params, "fuzz", (0,), eps=2e-3, rel=0.15, abs_tol=2e-3,
+              min_mag=1e-4)
+
+
+def test_grad_ref_idx_matches_fd():
+    """Dielectric index gradient through the Schlick reflect/refract
+    choice: the score-function factor (value 1, gradient L * dlog p) makes
+    the branch probability differentiable. Validated on a configuration
+    whose ONLY ref_idx sensitivity is that branch probability — a glass
+    pane between two infinite emissive planes of different brightness
+    (deterministic boundary terms like moving TIR/silhouette edges are
+    edge-sampling territory and explicitly out of scope). FD is averaged
+    over independent sample sets since branch flips make the two
+    estimators agree only in expectation."""
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    # dim emissive "floor" below the pane, bright emissive "ceiling" above
+    b.quad((-200, 0, -200), (400, 0, 0), (0, 0, 400), b.diffuse_light((1, 1, 1)))
+    b.quad((-100, 2.5, -100), (0, 0, 200), (200, 0, 0), b.dielectric(1.5))
+    q = b.quad((-200, 9, 200), (0, 0, -400), (400, 0, 0), b.diffuse_light((3, 3, 3)))
+    b.add_light(q)
+    scene = b.build()
+    params = pmesh.extract_params(scene)
+    from go_raytracer_tpu.scene import types as T
+    diel = int(np.argmax(np.asarray(scene.materials.kind) == T.MAT_DIELECTRIC))
+    n = 8192
+
+    def f(p, key_i):
+        sc = pmesh.apply_params(scene, p)
+        o = jnp.tile(jnp.asarray([[0.0, 5.0, 6.0]]), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, -0.6, -1.0]]), (n, 1)) + \
+            jax.random.normal(jax.random.key(100 + key_i), (n, 3)) * 0.1
+        L, _ = wavefront.radiance(sc, o, d, jnp.zeros(n),
+                                  jax.random.key(200 + key_i), 3, 10.0,
+                                  mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    gf = jax.jit(jax.grad(lambda p, k: f(p, k)), static_argnums=1)
+    fj = jax.jit(f, static_argnums=1)
+    K = 6
+    eps = 1e-2
+    ads, fds = [], []
+    for k in range(K):
+        ads.append(float(gf(params, k)["ref_idx"][diel]))
+        pp = dict(params)
+        pm = dict(params)
+        pp["ref_idx"] = params["ref_idx"].at[diel].add(eps)
+        pm["ref_idx"] = params["ref_idx"].at[diel].add(-eps)
+        fds.append((float(fj(pp, k)) - float(fj(pm, k))) / (2 * eps))
+    ad, fd = float(np.mean(ads)), float(np.mean(fds))
+    assert np.isfinite(ad) and abs(ad) > 1e-3
+    assert ad == pytest.approx(fd, rel=0.2, abs=0.02), (ad, fd)
+
+
+def test_grad_medium_density_matches_fd():
+    """Constant-medium density gradient via the transit-likelihood score
+    channel (sampled distances are stop_grad'd, so this is the only
+    density channel — no double counting)."""
+    b = SceneBuilder(background=(0.0, 0.0, 0.0))
+    b.constant_medium_box((-2, -2, -2), (2, 2, 2), 0.4, albedo=(0.8, 0.8, 0.8))
+    q = b.quad((-3, -3, -6), (6, 0, 0), (0, 6, 0), b.diffuse_light((4, 4, 4)))
+    b.add_light(q)
+    scene = b.build()
+    params = pmesh.extract_params(scene)
+
+    def f(p):
+        sc = pmesh.apply_params(scene, p)
+        n = 8192
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1)) + \
+            jax.random.normal(jax.random.key(4), (n, 3)) * 0.1
+        L, _ = wavefront.radiance(sc, o, d, jnp.zeros(n), jax.random.key(5),
+                                  6, 1.5, mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    # param is -1/density; denser fog attenuates the light behind it
+    _fd_check(f, params, "med_neg_inv_density", (0,), eps=2e-2, rel=0.15,
+              abs_tol=2e-3)
+
+
+def test_grad_camera_translation_matches_fd():
+    """Camera-origin gradient: translating the camera shifts `center` and
+    `pixel00` together; everything downstream is the differentiable
+    wavefront."""
+    scene = _scene()
+    cam_arrays = None
+
+    from go_raytracer_tpu.render import camera as camera_mod
+    from go_raytracer_tpu.render.camera import Camera
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=1, max_depth=3,
+                 vertical_fov=60)
+    cam.position((0, 2.5, 4), (0, 0, 0))
+    cam_arrays = cam.derived()
+    ids = jnp.arange(16 * 16, dtype=jnp.int32)
+
+    def f_delta(delta):
+        arr = cam_arrays.replace(center=cam_arrays.center + delta,
+                                 pixel00=cam_arrays.pixel00 + delta)
+        o, d, t = camera_mod.generate_rays(arr, 16, ids, jnp.zeros(()),
+                                           jnp.zeros(()), jax.random.key(6))
+        L, _ = wavefront.radiance(scene, o, d, t, jax.random.key(8), 3, 1.5,
+                                  mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    g = jax.grad(f_delta)(jnp.zeros(3))
+    assert bool(jnp.isfinite(g).all())
+    for axis in range(3):
+        eps = 1e-3
+        e = jnp.zeros(3).at[axis].set(eps)
+        fd = (float(f_delta(e)) - float(f_delta(-e))) / (2 * eps)
+        assert float(g[axis]) == pytest.approx(fd, rel=0.1, abs=1e-3), axis
+    assert float(jnp.abs(g).max()) > 1e-4
+
+
 def test_grad_is_deterministic():
     scene = _scene()
     params = pmesh.extract_params(scene)
