@@ -9,6 +9,7 @@ actually attached.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,14 +27,17 @@ def main():
     scene, cam = registry.cornell_box()
     cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
     key = jax.random.key(0)
+    cadence = int(os.environ.get("GRT_CADENCE", "1"))
+    refill = int(os.environ.get("GRT_REFILL", "0"))
 
     # fastest path: ray-regeneration + pallas bounce; fall back to the plain
     # wavefront renderer (pallas, then xla) on any issue.
     mode_used = "regen+pallas"
     try:
-        regen.render_regen(scene, cam, key, n_lanes=1 << 17)  # warm/compile
+        kw = dict(n_lanes=1 << 17, cadence=cadence, refill_len=refill)
+        regen.render_regen(scene, cam, key, **kw)  # warm/compile
         t0 = time.time()
-        _, stats = regen.render_regen(scene, cam, key, n_lanes=1 << 17)
+        _, stats = regen.render_regen(scene, cam, key, **kw)
     except Exception:
         def run(backend):
             return renderer.render(scene, cam, key=key, mode="while",

@@ -1,0 +1,79 @@
+"""Per-scene benchmark matrix: every reference scene (-S 1..8) rendered at
+its reference configuration through the production regen path, reporting
+rays/s + backend per scene (one JSON line each, plus a summary line).
+
+Reference configs are main.go:21-398; spp can be scaled down uniformly with
+--spp-scale for quicker sweeps (rays/s is throughput, not total work, so
+modest spp still measures the steady state; scenes whose windows are
+compile-dominated report the post-warmup window rate)."""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", default="1,2,3,4,5,6,7,8")
+    ap.add_argument("--spp-scale", type=float, default=1.0)
+    ap.add_argument("--lanes", type=int, default=1 << 17)
+    ap.add_argument("--out", default="BENCH_SCENES.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    from go_raytracer_tpu.utils import cache
+    cache.enable_compilation_cache()
+
+    from go_raytracer_tpu.integrator import regen
+    from go_raytracer_tpu.ops.pallas import bounce as pb
+    from go_raytracer_tpu.scenes import registry
+
+    results = []
+    for s in [int(x) for x in args.scenes.split(",")]:
+        name, fn = registry.get_scene(s)
+        scene, cam = fn()
+        if args.spp_scale != 1.0:
+            cam.samples_per_pixel = max(1, int(cam.samples_per_pixel
+                                               * args.spp_scale))
+        backend = "regen+fused" if pb.supported(scene) else "regen+xla"
+        t0 = time.time()
+        try:
+            _, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                       n_lanes=args.lanes)
+            # steady-state rate: exclude the compile-laden first window when
+            # there are more; else fall back to the whole-run rate
+            wt = st["window_s"]
+            if len(wt) > 1:
+                steady = sum(wt[1:])
+                segs_per_window = st["segments"] / len(wt)
+                rate = segs_per_window * (len(wt) - 1) / steady
+            else:
+                rate = st["rays_per_s"]
+            row = {
+                "scene": name, "S": s, "width": cam.width,
+                "spp": cam.spp_effective, "max_depth": cam.max_depth,
+                "backend": backend,
+                "rays_per_s": rate,
+                "rays_per_s_incl_compile": st["rays_per_s"],
+                "occupancy": st["occupancy"],
+                "windows": st["windows"],
+                "elapsed_s": time.time() - t0,
+            }
+        except Exception as e:  # record the failure, keep sweeping
+            row = {"scene": name, "S": s, "error": repr(e)[:300],
+                   "elapsed_s": time.time() - t0}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    ok = [r for r in results if "rays_per_s" in r]
+    print(json.dumps({"scenes_ok": len(ok), "scenes_total": len(results),
+                      "min_rays_per_s": min((r["rays_per_s"] for r in ok),
+                                            default=0)}))
+    return 0 if len(ok) == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

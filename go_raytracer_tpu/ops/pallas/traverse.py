@@ -188,6 +188,15 @@ def bvh_closest(nodes, tris, o, d, *, n_nodes, leaf_size, interpret=False):
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    # large meshes exceed Mosaic's default 16MB scoped-VMEM budget purely on
+    # resident tables; raise the cap toward the chip's physical VMEM
+    table_bytes = (nodes.size + tris.size) * 4
+    params = {}
+    if table_bytes > 8 * 1024 * 1024:
+        from jax.experimental.pallas import tpu as pltpu_mod
+
+        params["compiler_params"] = pltpu_mod.CompilerParams(
+            vmem_limit_bytes=int(table_bytes + 32 * 1024 * 1024))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -196,6 +205,7 @@ def bvh_closest(nodes, tris, o, d, *, n_nodes, leaf_size, interpret=False):
         out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32),
                    jax.ShapeDtypeStruct(shape, jnp.int32)],
         interpret=interpret,
+        **params,
     )(nodes, tris, *planes)
     t_best, idx = outs
     return t_best.reshape(n)[:n_orig], idx.reshape(n)[:n_orig]

@@ -1,0 +1,103 @@
+"""Image parity vs the upstream reference's checked-in renders.
+
+The reference uses an unseeded global math/rand (SURVEY.md §6), so parity
+is distributional: a high-spp render of the same scene must agree with the
+upstream readmeImgs/ image up to MC noise + JPEG compression. This script
+compares block-downsampled tone-mapped images (downsampling washes out
+per-pixel MC noise; blocks of 16px leave 37x37 statistics per channel) and
+writes PARITY.md.
+
+Run after producing renders (e.g. renders/cornellBox_100spp.png from a TPU
+run):  python scripts/parity_check.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+PAIRS = [
+    # (our render, upstream render, scene, block). book1/book2 lay out
+    # their spheres with the reference's UNSEEDED rng (main.go:40-41), so
+    # each run of the reference produces a different arrangement — only the
+    # image-level statistics (channel means) are comparable for them.
+    ("renders/cornellBox_100spp.png", "/root/reference/readmeImgs/cornellBox.jpg",
+     "cornellBox", 24),
+    ("renders/book1.png", "/root/reference/readmeImgs/book1.jpg", "book1*", 24),
+    ("renders/cornellSmoke.png", "/root/reference/readmeImgs/cornellSmoke.jpg",
+     "cornellSmoke", 24),
+    ("renders/simpleLight.png", "/root/reference/readmeImgs/simpleLight.jpg",
+     "simpleLight", 24),
+    ("renders/quads.png", "/root/reference/readmeImgs/quads.jpg", "quads", 24),
+]
+
+
+def block_down(img: np.ndarray, k: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    h2, w2 = h // k * k, w // k * k
+    img = img[:h2, :w2]
+    return img.reshape(h2 // k, k, w2 // k, k, -1).mean(axis=(1, 3))
+
+
+def compare(ours_path: str, ref_path: str, block: int):
+    ours = np.asarray(Image.open(ours_path).convert("RGB"), np.float32) / 255.0
+    ref = np.asarray(Image.open(ref_path).convert("RGB"), np.float32) / 255.0
+    if ours.shape != ref.shape:
+        ref = np.asarray(
+            Image.fromarray((ref * 255).astype(np.uint8)).resize(
+                (ours.shape[1], ours.shape[0])), np.float32) / 255.0
+    a = block_down(ours, block)
+    b = block_down(ref, block)
+    diff = np.abs(a - b)
+    return {
+        "mean_ours": [float(x) for x in ours.mean(axis=(0, 1))],
+        "mean_ref": [float(x) for x in ref.mean(axis=(0, 1))],
+        "block_mae": float(diff.mean()),
+        "block_p95": float(np.percentile(diff, 95)),
+        "block_max": float(diff.max()),
+        "corr": float(np.corrcoef(a.ravel(), b.ravel())[0, 1]),
+    }
+
+
+def main():
+    rows = []
+    for ours, ref, scene, block in PAIRS:
+        if not (os.path.exists(ours) and os.path.exists(ref)):
+            continue
+        r = compare(ours, ref, block)
+        r["scene"] = scene
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+
+    with open("PARITY.md", "w") as f:
+        f.write(
+            "# Image parity vs the upstream reference renders\n\n"
+            "Distributional comparison (SURVEY.md §6: the reference's RNG is\n"
+            "unseeded, so parity = agreement up to MC noise + JPEG loss) of\n"
+            "our renders against `readmeImgs/` from the upstream repo.\n"
+            "Metrics are over 24px-block means of tone-mapped [0,1] images.\n\n"
+            "| scene | mean (ours) | mean (ref) | block MAE | p95 | corr |\n"
+            "|---|---|---|---|---|---|\n")
+        for r in rows:
+            mo = ", ".join(f"{x:.3f}" for x in r["mean_ours"])
+            mr = ", ".join(f"{x:.3f}" for x in r["mean_ref"])
+            f.write(f"| {r['scene']} | {mo} | {mr} | {r['block_mae']:.4f} "
+                    f"| {r['block_p95']:.4f} | {r['corr']:.4f} |\n")
+        f.write(
+            "\n`*` = the reference randomizes this scene's layout with an\n"
+            "unseeded rng, so only channel means are comparable (the block\n"
+            "metrics reflect different sphere arrangements, not shading\n"
+            "differences).\n")
+        f.write(
+            "\nCross-backend agreement (pallas fused vs XLA vs regen) and the\n"
+            "analytic furnace ladder are asserted in tests/test_parity.py.\n")
+    print(f"wrote PARITY.md with {len(rows)} scenes")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
