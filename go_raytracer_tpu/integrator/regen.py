@@ -76,9 +76,10 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         return take, item, pid, s_i, s_j
 
     def fwd_step_fused(carry, inputs):
-        """Whole step in one kernel: PRNG, camera ray-gen, bounce, depth
-        cap (ops/pallas/bounce.bounce_fused). XLA keeps only the integer
-        queue bookkeeping."""
+        """`cadence` bounce steps in ONE kernel call: PRNG, camera ray-gen,
+        bounces, depth cap (ops/pallas/bounce.bounce_fused with
+        n_inner=cadence; the queue refill — the only part needing XLA's
+        integer bookkeeping — happens just before the first inner step)."""
         state, next_item = carry
         seed_i32, do_refill = inputs
         o, d, t, alive, item_id, depth = state
@@ -86,17 +87,23 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
         pi = (pid % width).astype(dtype)
         pj = (pid // width).astype(dtype)
-        E, W, cf, no, nd, ntm, alive2, depth2, img = pallas_bounce.bounce_fused(
+        recs, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
             tables, statics, cam_row, scene.background, seed_i32,
             o, d, t, alive.astype(jnp.int32), depth,
             take.astype(jnp.int32), pi, pj, s_i, s_j,
             has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
-            interpret=interpret)
-        W = pallas_bounce.patch_image_weight(scene, W, img)
+            n_inner=cadence, interpret=interpret)
         item_id = jnp.where(take, item, item_id)
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
-        seg = jnp.sum((alive | take).astype(jnp.int32))
-        rec = (E, W, cf, take, ni_step)
+        Es = jnp.stack([r[0] for r in recs])
+        Ws = jnp.stack([pallas_bounce.patch_image_weight(scene, r[1], r[4])
+                        for r in recs])
+        CFs = jnp.stack([r[2] for r in recs])
+        STs = jnp.concatenate([take[None],
+                               jnp.zeros((cadence - 1,) + take.shape, bool)])
+        NIs = jnp.full((cadence,), ni_step, jnp.int32)
+        seg = sum(jnp.sum(r[3].astype(jnp.int32)) for r in recs)
+        rec = (Es, Ws, CFs, STs, NIs)
         return ((no, nd, ntm, alive2 > 0, item_id, depth2), next_item), (rec, seg)
 
     def fwd_step(carry, inputs):
@@ -133,14 +140,24 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rec = (E, W, cf & alive, take, ni_step)
         return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
 
-    steps = jnp.arange(window)
-    do_refills = (steps < refill) & (steps % cadence == 0)
     if use_pallas:
-        seeds = jax.random.randint(base_key, (window,), jnp.iinfo(jnp.int32).min,
+        # one scan iteration = `cadence` kernel-internal bounce steps
+        outer = window // cadence
+        osteps = jnp.arange(outer) * cadence
+        do_refills = osteps < refill
+        seeds = jax.random.randint(base_key, (outer,), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
             fwd_step_fused, (state, next_item), (seeds, do_refills))
+        # flatten (outer, cadence, ...) records back to per-step planes
+        Es = Es.reshape((window,) + Es.shape[2:])
+        Ws = Ws.reshape((window,) + Ws.shape[2:])
+        CFs = CFs.reshape((window,) + CFs.shape[2:])
+        STs = STs.reshape((window,) + STs.shape[2:])
+        NIs = NIs.reshape(window)
     else:
+        steps = jnp.arange(window)
+        do_refills = (steps < refill) & (steps % cadence == 0)
         step_keys = jax.random.split(base_key, window)
         (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
             fwd_step, (state, next_item), (step_keys, do_refills))
@@ -238,7 +255,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     total_items = npix * n_strata
     d1 = cam.max_depth + 1
     refill = refill_len or 4 * d1
-    window = refill + d1
+    window = -(-(refill + d1) // cadence) * cadence
     n = n_lanes  # per device
     n_u = wavefront.N_FIXED_U + scene.media.count
     chunk = (total_items + n_dev - 1) // n_dev
@@ -359,7 +376,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # 4x(depth+1) refill measured best on the cornell workload (occupancy
     # 0.51 vs 0.42 at 2x; the drain tail amortizes over a longer window)
     refill = refill_len or 4 * d1
-    window = refill + d1
+    window = -(-(refill + d1) // cadence) * cadence
     n = n_lanes
     n_u = wavefront.N_FIXED_U + scene.media.count
 

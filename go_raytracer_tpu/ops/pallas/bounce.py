@@ -896,15 +896,19 @@ def _u01(lane_u32, seed_u32, slot: int):
     return f - 1.0
 
 
-def _fused_kernel(st, has_defocus, max_depth,
+def _fused_kernel(st, has_defocus, max_depth, n_inner,
                   prim_ref, light_ref, med_ref, cam_ref, bg_ref, seed_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   time_ref, alive_ref, depth_ref,
                   take_ref, pi_ref, pj_ref, si_ref, sj_ref,
-                  # outputs
-                  er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref, cf_ref,
-                  nox_ref, noy_ref, noz_ref, ndx_ref, ndy_ref, ndz_ref,
-                  ntm_ref, alive_out_ref, depth_out_ref, *img_refs):
+                  *out_refs):
+    """`n_inner` bounce steps per invocation: the queue refill happens only
+    at inner step 0 (aligned with the regen start cadence), so the XLA
+    bookkeeping around the kernel is paid once per n_inner bounces.
+
+    out_refs layout: per inner step j, (E rgb, W rgb, cf, alive_seg
+    [+ ratio,u,v,img_id when has_image]) record planes; then the final
+    state planes (o xyz, d xyz, time, alive, depth)."""
     # distinct stream per (step seed, global lane)
     shape = ox_ref.shape
     lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
@@ -953,36 +957,49 @@ def _fused_kernel(st, has_defocus, max_depth,
     alive = (alive_ref[:] > 0) | take
     depth = jnp.where(take, 0, depth_ref[:])
 
-    u = [u01(N_U_RAYGEN + k) for k in range(N_U + st["n_media"])]
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
-     img_out) = \
-        _bounce_core(st, prim_ref, light_ref, med_ref, bg,
-                     ox, oy, oz, dx, dy, dz, tm, alive, u)
-    for ref, val in zip(img_refs, img_out):
-        ref[:] = val
+    n_u_step = N_U + st["n_media"]
+    n_rec = 8 + (4 if st["has_image"] else 0)
+    refs = iter(out_refs)
+    rec_refs = [[next(refs) for _ in range(n_rec)] for _ in range(n_inner)]
+    (sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+     stm_ref, salive_ref, sdepth_ref) = [next(refs) for _ in range(9)]
 
-    # depth cap (camera.go:293-296): level depth+1 was just recorded; a path
-    # gets exactly max_depth+1 levels
-    alive_out = alive_out & (depth < max_depth)
-    depth = jnp.where(alive, depth + 1, depth)
+    for j in range(n_inner):
+        u = [u01(N_U_RAYGEN + j * n_u_step + k) for k in range(n_u_step)]
+        (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+         alive_out, img_out) = \
+            _bounce_core(st, prim_ref, light_ref, med_ref, bg,
+                         ox, oy, oz, dx, dy, dz, tm, alive, u)
+        rr = rec_refs[j]
+        rr[0][:] = er
+        rr[1][:] = eg
+        rr[2][:] = eb
+        rr[3][:] = wr
+        rr[4][:] = wg
+        rr[5][:] = wb
+        rr[6][:] = cf.astype(jnp.int32)
+        rr[7][:] = alive.astype(jnp.int32)   # segment mask for this step
+        if st["has_image"]:
+            for ref, val in zip(rr[8:], img_out):
+                ref[:] = val
+        # depth cap (camera.go:293-296): level depth+1 was just recorded; a
+        # path gets exactly max_depth+1 levels
+        alive_out = alive_out & (depth < max_depth)
+        depth = jnp.where(alive, depth + 1, depth)
+        ox, oy, oz = nox, noy, noz
+        dx, dy, dz = ndx, ndy, ndz
+        alive = alive_out
 
-    er_ref[:] = er
-    eg_ref[:] = eg
-    eb_ref[:] = eb
-    wr_ref[:] = wr
-    wg_ref[:] = wg
-    wb_ref[:] = wb
-    cf_ref[:] = cf.astype(jnp.int32)
-    nox_ref[:] = nox
-    noy_ref[:] = noy
-    noz_ref[:] = noz
-    ndx_ref[:] = ndx
-    ndy_ref[:] = ndy
-    ndz_ref[:] = ndz
-    ntm_ref[:] = tm
-    alive_out_ref[:] = alive_out.astype(jnp.int32)
-    depth_out_ref[:] = depth
+    sox_ref[:] = ox
+    soy_ref[:] = oy
+    soz_ref[:] = oz
+    sdx_ref[:] = dx
+    sdy_ref[:] = dy
+    sdz_ref[:] = dz
+    stm_ref[:] = tm
+    salive_ref[:] = alive.astype(jnp.int32)
+    sdepth_ref[:] = depth
 
 
 def pack_camera(arrays) -> jnp.ndarray:
@@ -995,10 +1012,11 @@ def pack_camera(arrays) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
-                                             "max_depth", "interpret"))
+                                             "max_depth", "n_inner",
+                                             "interpret"))
 def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                       o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
-                      st_key, has_defocus, max_depth, interpret):
+                      st_key, has_defocus, max_depth, n_inner, interpret):
     st = dict(st_key)
     n = o.shape[0]
     assert n % (TILE_ROWS * LANE) == 0, n
@@ -1011,7 +1029,8 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
     refill_planes = [plane(take_i32), plane(pi), plane(pj),
                      plane(si), plane(sj)]
 
-    kernel = functools.partial(_fused_kernel, st, has_defocus, max_depth)
+    kernel = functools.partial(_fused_kernel, st, has_defocus, max_depth,
+                               n_inner)
 
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
@@ -1023,9 +1042,9 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                 + [row_spec] * (9 + 5))
     f32 = jnp.float32
     n_img = 4 if st["has_image"] else 0
-    out_dtypes = [f32] * 6 + [jnp.int32] + [f32] * 7 + [jnp.int32] * 2 \
-        + [f32] * n_img
-    out_specs = [row_spec] * (16 + n_img)
+    rec_dtypes = [f32] * 6 + [jnp.int32] * 2 + [f32] * n_img
+    out_dtypes = rec_dtypes * n_inner + [f32] * 7 + [jnp.int32] * 2
+    out_specs = [row_spec] * len(out_dtypes)
     out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes]
 
     outs = pl.pallas_call(
@@ -1038,30 +1057,37 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
     )(prims, lights, med, cam_row, bg.reshape(1, 3).astype(f32),
       seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, ntm,
-     alive2, depth2, *img_outs) = outs
     unp = lambda x: x.reshape(n)
-    E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
-    W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
+    n_rec = len(rec_dtypes)
+    recs = []
+    for j in range(n_inner):
+        (er, eg, eb, wr, wg, wb, cf, seg, *img_outs) = \
+            outs[j * n_rec:(j + 1) * n_rec]
+        E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
+        W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
+        img = tuple(unp(x) for x in img_outs) if img_outs else None
+        recs.append((E, W, unp(cf) > 0, unp(seg) > 0, img))
+    (nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2) = \
+        outs[n_inner * n_rec:]
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
-    img = tuple(unp(x) for x in img_outs) if img_outs else None
-    return (E, W, unp(cf) > 0, new_o, new_d, unp(ntm), unp(alive2),
-            unp(depth2), img)
+    return recs, new_o, new_d, unp(ntm), unp(alive2), unp(depth2)
 
 
 def bounce_fused(scene_tables, statics, cam_row, bg, seed,
                  o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
-                 *, has_defocus, max_depth, interpret=False):
-    """One fused regeneration step. All lane arrays are (N,) / (N,3) with
-    N a multiple of TILE_ROWS*128 (the regen pool is sized accordingly).
+                 *, has_defocus, max_depth, n_inner=1, interpret=False):
+    """`n_inner` fused regeneration steps in one kernel call (refill only
+    at the first). All lane arrays are (N,) / (N,3) with N a multiple of
+    TILE_ROWS*128 (the regen pool is sized accordingly).
 
-    Returns (E, W, cf, new_o, new_d, new_time, alive', depth', img) where
-    img is None or the planes for `patch_image_weight`."""
+    Returns (recs, new_o, new_d, new_time, alive', depth') where recs is a
+    list of n_inner (E, W, cf, seg_mask, img) record tuples and img is
+    None or the planes for `patch_image_weight`."""
     prims, lights, med = scene_tables
     return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                              o, d, time, alive_i32, depth, take_i32,
                              pi, pj, si, sj,
                              st_key=_statics_key(statics),
                              has_defocus=has_defocus, max_depth=max_depth,
-                             interpret=interpret)
+                             n_inner=n_inner, interpret=interpret)

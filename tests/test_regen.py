@@ -219,6 +219,34 @@ def test_fused_kernel_enforces_max_depth():
     assert st2["segments"] == 4 * 4 * 4 * 3
 
 
+def test_fused_multistep_kernel_exact_accounting():
+    """cadence > 1 on the fused path folds several bounce steps into one
+    kernel call (refill only at the first inner step) — the all-miss
+    bookkeeping invariants must hold exactly."""
+    scene = empty_scene(bg=(0.3, 0.6, 0.9))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    for cad in (2, 3):
+        img, stats = regen.render_regen(scene, cam, jax.random.key(0),
+                                        n_lanes=4096, cadence=cad,
+                                        backend="pallas")
+        np.testing.assert_allclose(img[..., 0], 0.3, atol=1e-6)
+        np.testing.assert_allclose(img[..., 2], 0.9, atol=1e-6)
+        assert stats["segments"] == 16 * 16 * 9
+
+
+def test_fused_multistep_enforces_depth():
+    scene = mirror_corridor()
+    cam = Camera(width=4, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=2, vertical_fov=2.0, focus_distance=1.0)
+    cam.position((0, 0, 0), (0, 0, -1))
+    img, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                 n_lanes=4096, cadence=2, backend="pallas")
+    np.testing.assert_allclose(
+        img, np.broadcast_to([2.0, 3.0, 4.0], img.shape), atol=1e-5)
+    assert st["segments"] == 4 * 4 * 4 * 3
+
+
 def test_fused_kernel_matches_xla_statistically():
     """Fused-megakernel renders agree with the XLA regen path within MC
     noise (different RNG streams, same expected image)."""
