@@ -27,7 +27,9 @@ def main():
     scene, cam = registry.cornell_box()
     cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
     key = jax.random.key(0)
-    cadence = int(os.environ.get("GRT_CADENCE", "1"))
+    # cadence 4 = best measured on the v5e (multi-step fused kernel: 4
+    # bounces per pallas call, refill rows/4 in the harvest sort)
+    cadence = int(os.environ.get("GRT_CADENCE", "4"))
     refill = int(os.environ.get("GRT_REFILL", "0"))
 
     # fastest path: ray-regeneration + pallas bounce; fall back to the plain

@@ -18,6 +18,7 @@ def main(argv=None):
     ap.add_argument("--scenes", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--spp-scale", type=float, default=1.0)
     ap.add_argument("--lanes", type=int, default=1 << 17)
+    ap.add_argument("--cadence", type=int, default=4)
     ap.add_argument("--out", default="BENCH_SCENES.json")
     args = ap.parse_args(argv)
 
@@ -40,7 +41,8 @@ def main(argv=None):
         t0 = time.time()
         try:
             _, st = regen.render_regen(scene, cam, jax.random.key(0),
-                                       n_lanes=args.lanes)
+                                       n_lanes=args.lanes,
+                                       cadence=args.cadence)
             # steady-state rate: exclude the compile-laden first window when
             # there are more; else fall back to the whole-run rate
             wt = st["window_s"]

@@ -40,6 +40,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
     ap.add_argument("--lanes", type=int, default=1 << 17,
                     help="regen lane-pool size (multiple of 4096)")
+    ap.add_argument("--cadence", type=int, default=4,
+                    help="regen start cadence: bounce steps per lane "
+                         "restart (= fused-kernel steps per call)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")
@@ -94,7 +97,8 @@ def main(argv=None):
 
         linear, stats = regen_mod.render_regen(
             scene, cam, jax.random.key(args.seed), n_lanes=args.lanes,
-            backend=args.backend, checkpoint_path=args.checkpoint or None,
+            cadence=args.cadence, backend=args.backend,
+            checkpoint_path=args.checkpoint or None,
             scene_name=name, verbose=not args.quiet)
         film.write_image(args.out, np.asarray(film.tonemap(jnp.asarray(linear))))
     else:
