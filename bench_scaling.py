@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=20)
     ap.add_argument("--lanes", type=int, default=1 << 15,
                     help="lanes per device")
+    ap.add_argument("--backend", default="auto",
+                    help="bounce backend (use xla for --cpu-virtual runs: "
+                         "interpret-mode pallas is not a timing proxy)")
     args = ap.parse_args(argv)
 
     import os
@@ -62,10 +65,12 @@ def main(argv=None):
         m = pmesh.make_mesh(d, axes=("data",))
         key = jax.random.key(0)
         # warm/compile, then measure
-        regen.render_regen_sharded(scene, cam, m, key, n_lanes=args.lanes)
+        regen.render_regen_sharded(scene, cam, m, key, n_lanes=args.lanes,
+                                   backend=args.backend)
         t0 = time.time()
         _, st = regen.render_regen_sharded(scene, cam, m, key,
-                                           n_lanes=args.lanes)
+                                           n_lanes=args.lanes,
+                                           backend=args.backend)
         rays = st["segments"] / st["elapsed_s"]
         if base is None:
             base = rays
@@ -74,6 +79,7 @@ def main(argv=None):
             "rays_per_s": rays,
             "efficiency": rays / (d * base),
             "occupancy": st["occupancy"],
+            "work_balance": st["work_balance"],
             "windows": st["windows"],
             "virtual_cpu": bool(args.cpu_virtual),
         }), flush=True)

@@ -301,25 +301,30 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         # sharded array — required for multi-host operation
         seg_all = jax.lax.psum(seg, axis)
         done_all = jax.lax.psum((next2 >= end).astype(jnp.int32), axis)
+        # per-shard segment counts for the work-balance metric, gathered to
+        # a replicated vector (tiny, once per window)
+        seg_vec = jax.lax.all_gather(seg, axis)
         return (acc2[None], tuple(x[None] for x in state2), next2[None],
-                seg_all, done_all)
+                seg_all, done_all, seg_vec)
 
     sharded_window = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, spec, spec, spec, rep),
-        out_specs=(spec, spec, spec, rep, rep),
+        out_specs=(spec, spec, spec, rep, rep, rep),
         check_rep=False))
 
     segments = 0
+    seg_per_shard = np.zeros(n_dev, dtype=np.int64)
     n_windows = 0
     window_times = []
     t0 = _time.perf_counter()
     while True:
         wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
-        acc, state, next_items, seg_all, done_all = sharded_window(
+        acc, state, next_items, seg_all, done_all, seg_vec = sharded_window(
             scene, arrays, acc, state, next_items, wkey)
         segments += int(seg_all)
+        seg_per_shard += np.asarray(seg_vec, dtype=np.int64)
         n_windows += 1
         window_times.append(_time.perf_counter() - wt0)
         if int(done_all) == n_dev:
@@ -342,6 +347,8 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         "windows": n_windows,
         "window_s": window_times,
         "devices": n_dev,
+        "segments_per_shard": seg_per_shard.tolist(),
+        "work_balance": float(seg_per_shard.min() / max(seg_per_shard.max(), 1)),
         "occupancy": segments / max(n_windows * window * n * n_dev, 1),
     }
     return linear, stats

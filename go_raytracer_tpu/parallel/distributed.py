@@ -34,13 +34,12 @@ def initialize(coordinator_address: Optional[str] = None,
     addr = (coordinator_address
             or os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS"))
-    auto_env = os.environ.get("TPU_WORKER_HOSTNAMES") or \
-        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
-    if addr is None and auto_env is None:
+    if addr is None:
+        # no explicit coordinator -> single-process mode. (Deliberately no
+        # TPU_WORKER_HOSTNAMES auto-detection: dev environments export it
+        # with placeholder values.)
         return False
-    kwargs = {}
-    if addr is not None:
-        kwargs["coordinator_address"] = addr
+    kwargs = {"coordinator_address": addr}
     if num_processes is not None or "NUM_PROCESSES" in os.environ:
         kwargs["num_processes"] = int(
             num_processes if num_processes is not None
