@@ -40,18 +40,13 @@ def main(argv=None):
         backend = "regen+fused" if pb.supported(scene) else "regen+xla"
         t0 = time.time()
         try:
+            # first run pays the remote compile; the second is steady state
+            regen.render_regen(scene, cam, jax.random.key(0),
+                               n_lanes=args.lanes, cadence=args.cadence)
             _, st = regen.render_regen(scene, cam, jax.random.key(0),
                                        n_lanes=args.lanes,
                                        cadence=args.cadence)
-            # steady-state rate: exclude the compile-laden first window when
-            # there are more; else fall back to the whole-run rate
-            wt = st["window_s"]
-            if len(wt) > 1:
-                steady = sum(wt[1:])
-                segs_per_window = st["segments"] / len(wt)
-                rate = segs_per_window * (len(wt) - 1) / steady
-            else:
-                rate = st["rays_per_s"]
+            rate = st["rays_per_s"]
             row = {
                 "scene": name, "S": s, "width": cam.width,
                 "spp": cam.spp_effective, "max_depth": cam.max_depth,

@@ -240,6 +240,25 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+def _atan2(y, x):
+    """atan2 via the A&S 4.4.49 degree-9 minimax polynomial (~1e-5 rad) —
+    Mosaic has no atan2/acos lowering."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(hi, 1e-30)
+    t2 = t * t
+    r = t * (0.9998660 + t2 * (-0.3302995 + t2 * (0.1801410
+             + t2 * (-0.0851330 + 0.0208351 * t2))))
+    r = jnp.where(ay > ax, 0.5 * math.pi - r, r)
+    r = jnp.where(x < 0.0, math.pi - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(x):
+    return _atan2(jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x)), x)
+
+
 def _onb_transform(nx, ny, nz, lx, ly, lz):
     """Build the reference ONB about n (onb.go:13-25) and transform the
     local vector (lx,ly,lz) into it."""
@@ -712,8 +731,8 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
         outx = jnp.where(front, n_hx, -n_hx)
         outy = jnp.where(front, n_hy, -n_hy)
         outz = jnp.where(front, n_hz, -n_hz)
-        theta = jnp.arccos(jnp.clip(-outy, -1.0, 1.0))
-        phi = jnp.arctan2(-outz, outx) + math.pi
+        theta = _acos(jnp.clip(-outy, -1.0, 1.0))
+        phi = _atan2(-outz, outx) + math.pi
         sph_u = phi * (0.5 * INV_PI)
         sph_v = theta * INV_PI
         is_sph = w_kind == KIND_SPHERE
