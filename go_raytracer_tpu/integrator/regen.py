@@ -400,6 +400,12 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # the fused kernel tiles lanes as (32, 128) blocks
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    if scene.has_tri_bvh and not use_pallas and n > (1 << 16):
+        # mesh scenes run the traversal kernel once per bounce step inside
+        # the window scan; 128k-lane windows push a single device execution
+        # past the point where the tunneled worker gets killed (empirically
+        # 64k-lane windows complete, 128k crash the worker)
+        n = 1 << 16
 
     state = (
         jnp.zeros((n, 3), dtype),                  # o
