@@ -83,9 +83,10 @@ def _row(ref, idx):
     return lambda c: rot[0, c]
 
 
-def _traverse_kernel(n_nodes, leaf_size,
+def _traverse_kernel(n_nodes, leaf_size, unroll,
                      node_ref, tri_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tcap_ref,
                      t_ref, idx_ref):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -95,15 +96,17 @@ def _traverse_kernel(n_nodes, leaf_size,
     sdz = jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
     ix, iy, iz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
 
-    INF = jnp.asarray(jnp.inf, jnp.float32)
-    t0 = jnp.full(ox.shape, INF, jnp.float32)
-    i0 = jnp.zeros(ox.shape, jnp.int32)
+    # per-ray cap from cheaper primitive classes resolved first (the
+    # shrinking rayT.Max of bvh.go:69-82 across hittables): everything
+    # beyond the current closest hit is pruned up front
+    t0 = tcap_ref[:]
+    i0 = jnp.full(ox.shape, -1, jnp.int32)
 
     def cond(state):
         node, _, _ = state
         return node < n_nodes
 
-    def body(state):
+    def one_node(state):
         node, t_best, idx = state
         row = _row(node_ref, node)
         # slab test (aabb.go:90-113): hit iff max(near, tmin) < min(far, t_best)
@@ -161,30 +164,46 @@ def _traverse_kernel(n_nodes, leaf_size,
                          node + 1, row(8).astype(jnp.int32))
         return node, t_best, idx
 
+    def body(state):
+        # unrolled multi-node steps amortize the while-loop's scalar
+        # bookkeeping; a finished walk parks at node == n_nodes (clamped
+        # row loads, no-op updates)
+        for _ in range(unroll):
+            node, t_best, idx = state
+            state = jax.lax.cond(node < n_nodes, one_node,
+                                 lambda s: s, state)
+        return state
+
     _, t_best, idx = jax.lax.while_loop(cond, body, (jnp.int32(0), t0, i0))
     t_ref[:] = t_best
     idx_ref[:] = idx
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "leaf_size",
-                                             "interpret"))
-def bvh_closest(nodes, tris, o, d, *, n_nodes, leaf_size, interpret=False):
+                                             "unroll", "interpret"))
+def bvh_closest(nodes, tris, o, d, t_cap=None, *, n_nodes, leaf_size,
+                unroll=4, interpret=False):
     """Closest triangle hit for a ray bundle: returns (t (N,), idx (N,))
-    with idx in leaf order (== builder's permuted triangle table)."""
+    with idx in leaf order (== builder's permuted triangle table); idx is
+    -1 (and t == t_cap) where no triangle beats the optional per-ray cap."""
     n_orig = o.shape[0]
     tile = TILE_ROWS * LANE
     n = ((n_orig + tile - 1) // tile) * tile
     pad = n - n_orig
+    if t_cap is None:
+        t_cap = jnp.full((n_orig,), jnp.inf, jnp.float32)
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,), t_cap.dtype)])
     rows = n // LANE
     shape = (rows, LANE)
     plane = lambda x: x.reshape(rows, LANE).astype(jnp.float32)
     planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-              plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2])]
+              plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+              plane(t_cap)]
 
-    kernel = functools.partial(_traverse_kernel, n_nodes, leaf_size)
+    kernel = functools.partial(_traverse_kernel, n_nodes, leaf_size, unroll)
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
@@ -200,7 +219,7 @@ def bvh_closest(nodes, tris, o, d, *, n_nodes, leaf_size, interpret=False):
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec(nodes), table_spec(tris)] + [row_spec] * 6,
+        in_specs=[table_spec(nodes), table_spec(tris)] + [row_spec] * 7,
         out_specs=[row_spec] * 2,
         out_shape=[jax.ShapeDtypeStruct(shape, jnp.float32),
                    jax.ShapeDtypeStruct(shape, jnp.int32)],

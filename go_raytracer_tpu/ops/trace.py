@@ -163,7 +163,7 @@ def _part1by2(x):
     return x
 
 
-def pallas_bvh_closest(scene: T.Scene, o, d):
+def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None):
     """Closest triangle hit via the tile-coherent Pallas traversal
     (ops/pallas/traverse.py), with a coherence sort first: the kernel
     shares one walk per 1024-lane tile, so bounce rays — arbitrary order
@@ -186,21 +186,24 @@ def pallas_bvh_closest(scene: T.Scene, o, d):
     key = (octant << 15) | morton
 
     iota = jnp.arange(n, dtype=jnp.int32)
-    (_, perm, ox, oy, oz, dx, dy, dz) = jax.lax.sort(
-        (key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]),
+    if t_cap is None:
+        t_cap = jnp.full((n,), INF, dtype=o.dtype)
+    (_, perm, ox, oy, oz, dx, dy, dz, cap_s) = jax.lax.sort(
+        (key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_cap),
         dimension=0, num_keys=1, is_stable=False)
     o_s = jnp.stack([ox, oy, oz], axis=-1)
     d_s = jnp.stack([dx, dy, dz], axis=-1)
 
     nodes, tris = ptrav.pack_bvh(scene)
-    t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s,
+    t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,
                                  n_nodes=bvh.n_nodes,
                                  leaf_size=bvh.leaf_size,
                                  interpret=jax.default_backend() != "tpu")
     # unsort: ordering by the permutation restores original lane order
     _, t_t, i_t = jax.lax.sort((perm, t_s, i_s), dimension=0, num_keys=1,
                                is_stable=False)
-    return t_t, jnp.clip(i_t, 0, scene.triangles.count - 1)
+    return t_t, i_t
 
 
 def _tri_attrs(tr: T.Triangles, o, d, t, idx):
@@ -283,6 +286,10 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
           u_med: jnp.ndarray, t_min: float = T_MIN, t_max: float = INF) -> Hit:
     """Closest hit for a ray bundle. u_med: (N, M) uniforms for media."""
     n = o.shape[0]
+    # cheap dense classes resolve first; their closest hit then CAPS the
+    # BVH traversal (the shrinking rayT.Max of bvh.go:69-82 applied across
+    # hittable classes — e.g. modelExample's ground sphere prunes every
+    # statue node beyond it)
     per_class = []  # (code, t (N,), idx (N,))
     if scene.has_spheres:
         ts = ix.sphere_ts(scene.spheres, o, d, time, t_min, t_max)
@@ -290,16 +297,6 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
     if scene.has_quads:
         ts = ix.quad_ts(scene.quads, o, d, t_min, t_max)
         per_class.append((CLS_QUAD, ts.min(axis=1), jnp.argmin(ts, axis=1)))
-    if scene.has_triangles:
-        if scene.has_tri_bvh:
-            if jax.default_backend() == "tpu":
-                t_t, i_t = pallas_bvh_closest(scene, o, d)
-            else:
-                t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
-            per_class.append((CLS_TRI, t_t, i_t))
-        else:
-            ts = ix.tri_ts(scene.triangles, o, d, t_min, t_max)
-            per_class.append((CLS_TRI, ts.min(axis=1), jnp.argmin(ts, axis=1)))
 
     t_solid = jnp.full((n,), INF, dtype=o.dtype)
     cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
@@ -309,6 +306,23 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
         t_solid = jnp.where(closer, t_c, t_solid)
         cls = jnp.where(closer, code, cls)
         loc = jnp.where(closer, i_c, loc)
+
+    if scene.has_triangles:
+        if scene.has_tri_bvh:
+            if jax.default_backend() == "tpu":
+                t_t, i_t = pallas_bvh_closest(scene, o, d, t_cap=t_solid)
+            else:
+                t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
+                i_t = jnp.where(jnp.isfinite(t_t), i_t, -1)
+        else:
+            ts = ix.tri_ts(scene.triangles, o, d, t_min, t_max)
+            t_t = ts.min(axis=1)
+            i_t = jnp.where(jnp.isfinite(t_t), jnp.argmin(ts, axis=1), -1)
+        tri_win = (i_t >= 0) & (t_t < t_solid)
+        t_solid = jnp.where(tri_win, t_t, t_solid)
+        cls = jnp.where(tri_win, CLS_TRI, cls)
+        loc = jnp.where(tri_win, jnp.clip(i_t, 0, scene.triangles.count - 1),
+                        loc)
 
     if scene.has_media:
         med_ts, (m_t0, m_t1, m_ok, ray_len) = media_candidates(

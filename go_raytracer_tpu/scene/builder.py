@@ -284,7 +284,7 @@ class SceneBuilder:
 
     # ---------------------------------------------------------------- build
     def build(self, dtype=jnp.float32, bvh_threshold: int = 2048,
-              bvh_leaf_size: int = 8) -> T.Scene:
+              bvh_leaf_size: int = 16) -> T.Scene:
         f = lambda x: jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dtype)
         i32 = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
 
