@@ -153,23 +153,7 @@ def pack_scene(scene: T.Scene):
                 [rows, jnp.full((pad, P_COLS), -1.0, rows.dtype)])
         return rows
 
-    def block_bounds(lo, hi, active):
-        """Per-P_BLOCK-row AABBs [min(3), max(3)] for the fori-loop cull:
-        inactive rows contribute an empty box. Builder emission order is
-        spatially coherent (grid loops), so blocks stay tight."""
-        big = 3e38
-        lo = jnp.where(active[:, None], lo, big)
-        hi = jnp.where(active[:, None], hi, -big)
-        pad = (-lo.shape[0]) % P_BLOCK
-        if pad:
-            lo = jnp.concatenate([lo, jnp.full((pad, 3), big)])
-            hi = jnp.concatenate([hi, jnp.full((pad, 3), -big)])
-        lo = lo.reshape(-1, P_BLOCK, 3).min(axis=1)
-        hi = hi.reshape(-1, P_BLOCK, 3).max(axis=1)
-        return jnp.concatenate([lo, hi], axis=1)  # (NB, 6)
-
     sections = []
-    blocks = []
     if scene.has_spheres:
         sp = scene.spheres
         cols = ([jnp.zeros_like(sp.radius)]
@@ -181,10 +165,6 @@ def pack_scene(scene: T.Scene):
         sections.append(pad_section(
             jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
                       jnp.full((sp.count, P_COLS), -1.0))))
-        c1 = sp.center0 + sp.center_delta  # motion endpoint (objects.go:30-37)
-        lo = jnp.minimum(sp.center0, c1) - sp.radius[:, None]
-        hi = jnp.maximum(sp.center0, c1) + sp.radius[:, None]
-        blocks.append(block_bounds(lo, hi, sp.active))
     if scene.has_quads:
         qd = scene.quads
         qcvw = jnp.sum(qd.q * qd.cvw, axis=-1)
@@ -199,14 +179,7 @@ def pack_scene(scene: T.Scene):
         sections.append(pad_section(
             jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
                       jnp.full((qd.count, P_COLS), -1.0))))
-        corners = jnp.stack([qd.q, qd.q + qd.u, qd.q + qd.v,
-                             qd.q + qd.u + qd.v])
-        eps = 1e-4  # padToMinimum-style epsilon for axis-flat quads
-        blocks.append(block_bounds(corners.min(axis=0) - eps,
-                                   corners.max(axis=0) + eps, qd.active))
     prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
-    blk = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
-    blk = jnp.pad(blk, ((0, 0), (0, 10)))  # (NB, 16): one packed-line field
 
     lt = scene.lights
     lrows = []
@@ -251,7 +224,7 @@ def pack_scene(scene: T.Scene):
         + [md.neg_inv_density]
         + [alb[:, i] for i in range(3)],
         axis=1).astype(jnp.float32)
-    return prims, lights, med, blk
+    return prims, lights, med
 
 
 # ---------------------------------------------------------------------------
@@ -386,14 +359,11 @@ def _update_carry(carry, cand, g, rays, kind_code):
     return (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
 
 
-def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
-                  rays, inv_d, carry):
+def _scan_section(prim_ref, base, n_real, candidate_fn, kind_code, rays,
+                  carry):
     """Walk one kind-homogeneous section: fully unrolled when small, a
     fori_loop over P_BLOCK-row dynamic slices when large (keeps Mosaic's
-    program size independent of the primitive count). Each block carries an
-    AABB (pack_scene.block_bounds): a block is processed only when some
-    ray's slab interval beats its current t_best — conservative culling
-    that turns the dense loop into a one-level BVH for large scenes."""
+    program size independent of the primitive count)."""
     if n_real == 0:
         return carry
     if n_real <= UNROLL_ROWS:
@@ -404,36 +374,14 @@ def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
         return carry
 
     n_blocks = (n_real + P_BLOCK - 1) // P_BLOCK
-    blk_base = base // P_BLOCK
-    ox, oy, oz = rays[0], rays[1], rays[2]
-    ix, iy, iz = inv_d
 
     def body(b, carry):
-        brow_ = blk_ref[pl.ds(blk_base + b, 1), :]
-        brow = lambda c: brow_[0, c]
-        tx0 = (brow(0) - ox) * ix
-        tx1 = (brow(3) - ox) * ix
-        ty0 = (brow(1) - oy) * iy
-        ty1 = (brow(4) - oy) * iy
-        tz0 = (brow(2) - oz) * iz
-        tz1 = (brow(5) - oz) * iz
-        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hit_box = jnp.maximum(near, T_MIN) < jnp.minimum(far, carry[0])
-
-        def process(carry):
-            rows = prim_ref[pl.ds(base + b * P_BLOCK, P_BLOCK), :]
-            for r in range(P_BLOCK):
-                g = lambda c, r=r: rows[r, c]
-                carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
-                                      g, rays, kind_code)
-            return carry
-
-        return jax.lax.cond(jnp.any(hit_box), process, lambda c: c, carry)
+        rows = prim_ref[pl.ds(base + b * P_BLOCK, P_BLOCK), :]
+        for r in range(P_BLOCK):
+            g = lambda c, r=r: rows[r, c]
+            carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
+                                  g, rays, kind_code)
+        return carry
 
     return jax.lax.fori_loop(0, n_blocks, body, carry)
 
@@ -517,7 +465,7 @@ def _media_update(med_ref, n_media, rays, u, carry):
     return carry
 
 
-def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
+def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
                  ox, oy, oz, dx, dy, dz, tm, alive, u):
     """Shared bounce body over (R, 128) value planes: closest hit, media,
     shading, mixture sampling — the whole of camera.go:293-331's per-level
@@ -525,17 +473,13 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     planes (E, W, cf, new origin, new direction, alive')."""
     a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
     rays = (ox, oy, oz, dx, dy, dz, tm, a_quad)
-    tiny = 1e-30
-    inv_d = tuple(
-        1.0 / jnp.where(jnp.abs(c) < tiny, jnp.where(c < 0, -tiny, tiny), c)
-        for c in (dx, dy, dz))
 
     # ---- closest hit over kind-homogeneous sections ---------------------
     carry = _init_carry(ox)
-    carry = _scan_section(prim_ref, blk_ref, st["sph_base"], st["n_sph"],
-                          _sphere_candidate, KIND_SPHERE, rays, inv_d, carry)
-    carry = _scan_section(prim_ref, blk_ref, st["quad_base"], st["n_quad"],
-                          _quad_candidate, KIND_QUAD, rays, inv_d, carry)
+    carry = _scan_section(prim_ref, st["sph_base"], st["n_sph"],
+                          _sphere_candidate, KIND_SPHERE, rays, carry)
+    carry = _scan_section(prim_ref, st["quad_base"], st["n_quad"],
+                          _quad_candidate, KIND_QUAD, rays, carry)
     if st["n_media"]:
         carry = _media_update(med_ref, st["n_media"], rays, u, carry)
 
@@ -804,7 +748,7 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
 
 
 def _bounce_kernel(st, n_u_tot,
-                   prim_ref, light_ref, med_ref, blk_ref, bg_ref,
+                   prim_ref, light_ref, med_ref, bg_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    time_ref, alive_ref, u_ref,
                    # outputs
@@ -816,7 +760,7 @@ def _bounce_kernel(st, n_u_tot,
     u = [u_ref[k] for k in range(n_u_tot)]
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
      img_out) = \
-        _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
+        _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
                      dx_ref[:], dy_ref[:], dz_ref[:],
                      time_ref[:], alive_ref[:] > 0, u)
@@ -843,7 +787,7 @@ def _statics_key(st: dict):
 
 
 @functools.partial(jax.jit, static_argnames=("st_key", "interpret"))
-def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
+def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
                 interpret):
     st = dict(st_key)
     n_u_tot = N_U + st["n_media"]
@@ -875,7 +819,6 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
     row_spec_f = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
     in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
-                 table_spec(blk),
                  pl.BlockSpec((1, 3), lambda i: (0, 0))]
                 + [row_spec_f] * 8
                 + [pl.BlockSpec((n_u_tot, TILE_ROWS, LANE),
@@ -895,7 +838,7 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, med, blk, bg.reshape(1, 3).astype(jnp.float32),
+    )(prims, lights, med, bg.reshape(1, 3).astype(jnp.float32),
       *planes, u_stack)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2,
@@ -932,8 +875,8 @@ def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
     Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,),
     img (None, or the (ratio, u, v, img_id) planes for
     `patch_image_weight`)."""
-    prims, lights, med, blk = scene_tables
-    return _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg,
+    prims, lights, med = scene_tables
+    return _bounce_jit(prims, lights, med, o, d, time, alive, u, bg,
                        st_key=_statics_key(statics), interpret=interpret)
 
 
@@ -973,8 +916,7 @@ def _u01(lane_u32, seed_u32, slot: int):
 
 
 def _fused_kernel(st, has_defocus, max_depth, n_inner,
-                  prim_ref, light_ref, med_ref, blk_ref, cam_ref, bg_ref,
-                  seed_ref,
+                  prim_ref, light_ref, med_ref, cam_ref, bg_ref, seed_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   time_ref, alive_ref, depth_ref,
                   take_ref, pi_ref, pj_ref, si_ref, sj_ref,
@@ -1046,7 +988,7 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
         u = [u01(N_U_RAYGEN + j * n_u_step + k) for k in range(n_u_step)]
         (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
          alive_out, img_out) = \
-            _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
+            _bounce_core(st, prim_ref, light_ref, med_ref, bg,
                          ox, oy, oz, dx, dy, dz, tm, alive, u)
         rr = rec_refs[j]
         rr[0][:] = er
@@ -1091,7 +1033,7 @@ def pack_camera(arrays) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
                                              "max_depth", "n_inner",
                                              "interpret"))
-def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
+def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                       o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
                       st_key, has_defocus, max_depth, n_inner, interpret):
     st = dict(st_key)
@@ -1113,7 +1055,6 @@ def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
     in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
-                 table_spec(blk),
                  pl.BlockSpec((1, 20), lambda i: (0, 0)),
                  pl.BlockSpec((1, 3), lambda i: (0, 0)),
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -1132,7 +1073,7 @@ def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, med, blk, cam_row, bg.reshape(1, 3).astype(f32),
+    )(prims, lights, med, cam_row, bg.reshape(1, 3).astype(f32),
       seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
     unp = lambda x: x.reshape(n)
@@ -1162,8 +1103,8 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
     Returns (recs, new_o, new_d, new_time, alive', depth') where recs is a
     list of n_inner (E, W, cf, seg_mask, img) record tuples and img is
     None or the planes for `patch_image_weight`."""
-    prims, lights, med, blk = scene_tables
-    return _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
+    prims, lights, med = scene_tables
+    return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                              o, d, time, alive_i32, depth, take_i32,
                              pi, pj, si, sj,
                              st_key=_statics_key(statics),
