@@ -142,6 +142,37 @@ def test_coherence_sorted_traversal_matches_dense():
     np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
 
 
+def test_traversal_t_cap_prunes_but_keeps_closer_hits():
+    """pallas_bvh_closest with a per-ray cap: triangles beyond the cap are
+    reported as misses (idx -1), closer ones still win exactly."""
+    from go_raytracer_tpu.ops import trace as trace_mod
+
+    s_bvh, s_dense = _scenes_with_and_without_bvh(200, seed=13)
+    rs = np.random.default_rng(14)
+    n = 1024
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    from go_raytracer_tpu.ops import intersect as ix
+    ts = ix.tri_ts(s_dense.triangles, o, d, 1e-3, np.inf)
+    t_d = np.asarray(ts.min(axis=1))
+
+    cap = jnp.asarray(np.where(np.isfinite(t_d), t_d * 0.5, 7.0), jnp.float32)
+    t_p, i_p = trace_mod.pallas_bvh_closest(s_bvh, o, d, t_cap=cap)
+    t_p, i_p = np.asarray(t_p), np.asarray(i_p)
+    hits = i_p >= 0
+    # every reported hit beats its cap and matches a real closer-than-cap hit
+    assert (t_p[hits] < np.asarray(cap)[hits]).all()
+    # lanes whose only hit was at t_d cannot win against cap=t_d/2 unless a
+    # different (closer) triangle exists; where idx = -1, t must equal cap
+    np.testing.assert_allclose(t_p[~hits], np.asarray(cap)[~hits], rtol=1e-6)
+    # and the capped winners agree with dense results where dense < cap
+    dense_all = np.asarray(ts)
+    for lane in np.where(hits)[0][:50]:
+        closer = dense_all[lane][dense_all[lane] < float(cap[lane])]
+        assert closer.size > 0
+        np.testing.assert_allclose(t_p[lane], closer.min(), rtol=2e-4)
+
+
 def test_builder_threshold_controls_bvh():
     b = SceneBuilder()
     m = b.lambertian((1, 1, 1))
