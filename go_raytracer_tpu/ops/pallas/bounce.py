@@ -985,10 +985,7 @@ def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
     lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
             + tile_i.astype(jnp.uint32) * np.uint32(shape[0] * LANE))
-    # tpu.bitcast is vector-only: broadcast the scalar seed into a plane
-    # before reinterpreting as uint32
-    seed = jax.lax.bitcast_convert_type(
-        jnp.full(shape, scal_ref[0], jnp.int32), jnp.uint32)
+    seed = jax.lax.bitcast_convert_type(scal_ref[0], jnp.uint32)
     u01 = lambda slot: _u01(lane, seed, slot)
 
     # ---- in-kernel refill assignment -----------------------------------
