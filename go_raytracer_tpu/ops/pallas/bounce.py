@@ -928,25 +928,13 @@ def _div_static(x_i32, denom: int):
     return q, r
 
 
-def _prefix_sum(x, axis, size):
-    """Inclusive prefix sum via log-shift rolls (Mosaic has no cumsum
-    lowering): x[i] += x[i - s] for s = 1, 2, 4, ... with the wrapped
-    positions masked off."""
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    s = 1
-    while s < size:
-        x = x + jnp.where(idx >= s, pltpu.roll(x, s, axis), 0.0)
-        s *= 2
-    return x
-
-
 def _tile_rank(dead):
     """0-based rank of each dead lane in lane-major order within the tile
-    (row-major over (R, 128)): lane prefix sum + exclusive row prefix."""
+    (row-major over (R, 128)): lane cumsum + exclusive row prefix."""
     df = dead.astype(jnp.float32)
-    within = _prefix_sum(df, 1, LANE)
+    within = jnp.cumsum(df, axis=1)
     row_tot = within[:, LANE - 1:LANE]
-    row_prefix = _prefix_sum(row_tot, 0, row_tot.shape[0]) - row_tot
+    row_prefix = jnp.cumsum(row_tot, axis=0) - row_tot
     return (within + row_prefix - 1.0).astype(jnp.int32)
 
 
