@@ -85,36 +85,35 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         return take, item, pid, s_i, s_j
 
     def fwd_step_fused(carry, inputs):
-        """`cadence` bounce steps AND the queue refill in ONE kernel call
-        (ops/pallas/bounce.bounce_fused_queue): the sequential-grid SMEM
-        cursor assigns work items in-kernel, so the scan body is just the
-        kernel plus record stacking — no per-step XLA integer work."""
-        state, cursors = carry
+        """`cadence` bounce steps in ONE kernel call: PRNG, camera ray-gen,
+        bounces, depth cap (ops/pallas/bounce.bounce_fused with
+        n_inner=cadence; the queue refill — the only part needing XLA's
+        integer bookkeeping — happens just before the first inner step)."""
+        state, next_item = carry
         seed_i32, do_refill = inputs
         o, d, t, alive, item_id, depth = state
-        ni_step = cursors[0]
-        scalars = jnp.concatenate([
-            jnp.stack([seed_i32, do_refill.astype(jnp.int32)]), cursors,
-            item_end[None].astype(jnp.int32)])
-        prims, lights_p, med = tables
-        (recs, started, no, nd, ntm, alive2, depth2,
-         cur_out) = pallas_bounce.bounce_fused_queue(
-            prims, lights_p, med, cam_row, scene.background, scalars,
+        ni_step = next_item
+        take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
+        pi = (pid % width).astype(dtype)
+        pj = (pid // width).astype(dtype)
+        recs, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
+            tables, statics, cam_row, scene.background, seed_i32,
             o, d, t, alive.astype(jnp.int32), depth,
-            st_key=pallas_bounce._statics_key(statics),
+            take.astype(jnp.int32), pi, pj, s_i, s_j,
             has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
-            n_inner=cadence, npix=npix, width=width, sqrt_spp=sqrt_spp,
-            interpret=interpret)
+            n_inner=cadence, interpret=interpret)
+        item_id = jnp.where(take, item, item_id)
+        next_item = next_item + jnp.sum(take.astype(jnp.int32))
         Es = jnp.stack([r[0] for r in recs])
         Ws = jnp.stack([pallas_bounce.patch_image_weight(scene, r[1], r[4])
                         for r in recs])
         CFs = jnp.stack([r[2] for r in recs])
-        STs = jnp.concatenate([started[None],
-                               jnp.zeros((cadence - 1,) + started.shape, bool)])
+        STs = jnp.concatenate([take[None],
+                               jnp.zeros((cadence - 1,) + take.shape, bool)])
         NIs = jnp.full((cadence,), ni_step, jnp.int32)
         seg = sum(jnp.sum(r[3].astype(jnp.int32)) for r in recs)
         rec = (Es, Ws, CFs, STs, NIs)
-        return ((no, nd, ntm, alive2 > 0, item_id, depth2), cur_out), (rec, seg)
+        return ((no, nd, ntm, alive2 > 0, item_id, depth2), next_item), (rec, seg)
 
     def fwd_step(carry, inputs):
         state, next_item = carry
@@ -157,11 +156,8 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         do_refills = osteps < refill
         seeds = jax.random.randint(base_key, (outer,), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        cursors0 = jnp.stack([next_item, next_item % npix,
-                              next_item // npix]).astype(jnp.int32)
-        (state, cursors), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
-            fwd_step_fused, (state, cursors0), (seeds, do_refills))
-        next_item = cursors[0]
+        (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
+            fwd_step_fused, (state, next_item), (seeds, do_refills))
         # flatten (outer, cadence, ...) records back to per-step planes
         Es = Es.reshape((window,) + Es.shape[2:])
         Ws = Ws.reshape((window,) + Ws.shape[2:])

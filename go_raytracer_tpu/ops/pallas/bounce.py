@@ -915,111 +915,46 @@ def _u01(lane_u32, seed_u32, slot: int):
     return f - 1.0
 
 
-def _div_static(x_i32, denom: int):
-    """Exact (q, r) for 0 <= x < 2^23 divided by a static positive int,
-    without integer division (no reliable Mosaic lowering): f32 multiply by
-    the reciprocal, floor, then a one-step correction (the f32 rounding
-    error is < 1 ulp of q for x < 2^23)."""
-    xf = x_i32.astype(jnp.float32)
-    q = jnp.floor(xf * np.float32(1.0 / denom)).astype(jnp.int32)
-    r = x_i32 - q * denom
-    q = jnp.where(r < 0, q - 1, jnp.where(r >= denom, q + 1, q))
-    r = x_i32 - q * denom
-    return q, r
-
-
-def _tile_rank(dead):
-    """0-based rank of each dead lane in lane-major order within the tile
-    (row-major over (R, 128)): lane cumsum + exclusive row prefix."""
-    df = dead.astype(jnp.float32)
-    within = jnp.cumsum(df, axis=1)
-    row_tot = within[:, LANE - 1:LANE]
-    row_prefix = jnp.cumsum(row_tot, axis=0) - row_tot
-    return (within + row_prefix - 1.0).astype(jnp.int32)
-
-
-def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
-                  prim_ref, light_ref, med_ref, cam_ref, bg_ref, scal_ref,
+def _fused_kernel(st, has_defocus, max_depth, n_inner,
+                  prim_ref, light_ref, med_ref, cam_ref, bg_ref, seed_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   time_ref, alive_ref, depth_ref,
+                  take_ref, pi_ref, pj_ref, si_ref, sj_ref,
                   *out_refs):
-    """bounce_fused + the queue itself: the TPU grid runs tiles
-    SEQUENTIALLY on the core, so a running item cursor in SMEM scratch
-    assigns consecutive (pixel, stratum) work items to each tile's dead
-    lanes in global lane order — the refill bookkeeping (round 2's last
-    per-step XLA work, 22.6ms of a 75.9ms window) never leaves the chip.
+    """`n_inner` bounce steps per invocation: the queue refill happens only
+    at inner step 0 (aligned with the regen start cadence), so the XLA
+    bookkeeping around the kernel is paid once per n_inner bounces.
 
-    scal_ref (SMEM, (6,)): [seed, do_refill, cursor_in, pid_in,
-    stratum_in, item_end]. Flat-item arithmetic never needs division; the
-    pixel/stratum decomposition works on the (< 2^23) per-tile local
-    offsets via _div_static."""
-    *rec_and_state, cur_out_ref, scratch = out_refs
-    refs = iter(rec_and_state)
-    n_rec = 8 + (4 if st["has_image"] else 0)
-    rec_refs = [[next(refs) for _ in range(n_rec)] for _ in range(n_inner)]
-    started_ref = next(refs)
-    (sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
-     stm_ref, salive_ref, sdepth_ref) = [next(refs) for _ in range(9)]
-
-    tile_i = pl.program_id(0)
-
-    @pl.when(tile_i == 0)
-    def _():
-        scratch[0] = scal_ref[2]   # flat item cursor
-        scratch[1] = scal_ref[3]   # pixel id at the cursor
-        scratch[2] = scal_ref[4]   # stratum at the cursor
-
+    out_refs layout: per inner step j, (E rgb, W rgb, cf, alive_seg
+    [+ ratio,u,v,img_id when has_image]) record planes; then the final
+    state planes (o xyz, d xyz, time, alive, depth)."""
+    # distinct stream per (step seed, global lane)
     shape = ox_ref.shape
     lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
             + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-            + tile_i.astype(jnp.uint32) * np.uint32(shape[0] * LANE))
-    seed = jax.lax.bitcast_convert_type(scal_ref[0], jnp.uint32)
+            + pl.program_id(0).astype(jnp.uint32)
+            * np.uint32(shape[0] * LANE))
+    seed = seed_ref[0].astype(jnp.uint32)
     u01 = lambda slot: _u01(lane, seed, slot)
+    take = take_ref[:] > 0
 
-    # ---- in-kernel refill assignment -----------------------------------
-    alive_in = alive_ref[:] > 0
-    dead = jnp.logical_not(alive_in)
-    rank = _tile_rank(dead)
-    base = scratch[0]
-    item = base + rank
-    do_refill = scal_ref[1] > 0
-    take = dead & do_refill & (item < scal_ref[5])
-    count = jnp.sum(take.astype(jnp.int32))
-
-    # pixel/stratum of each take: cursor pixel/stratum + rank overflowed
-    # through the (pixel-major) item ordering
-    p_lin = scratch[1] + rank
-    s_carry, pid = _div_static(p_lin, npix)
-    stratum = scratch[2] + s_carry
-    s_i_q, s_j_i = _div_static(stratum, sqrt_spp)
-    pj_i, pi_i = _div_static(pid, width)
-    pi = pi_i.astype(jnp.float32)
-    pj = pj_i.astype(jnp.float32)
-    s_i = s_i_q.astype(jnp.float32)
-    s_j = s_j_i.astype(jnp.float32)
-
-    @pl.when(do_refill)
-    def _():
-        new_flat = base + count
-        adv = scratch[1] + count
-        q, r = _div_static(adv, npix)
-        scratch[0] = new_flat
-        scratch[1] = r
-        scratch[2] = scratch[2] + q
-
-    # ---- camera rays for taken lanes (camera.go:256-270) ----------------
-    cam = cam_ref
+    # ---- camera ray generation for refilled lanes (camera.go:256-270) ----
+    cam = cam_ref  # (1, 20): pixel00 du dv center dfu dfv recip_sqrt
+    u_jx = u01(0)
+    u_jy = u01(1)
     recip = cam[0, 18]
-    off_x = (s_i + u01(0)) * recip - 0.5
-    off_y = (s_j + u01(1)) * recip - 0.5
-    px = pi + off_x
-    py = pj + off_y
+    off_x = (si_ref[:] + u_jx) * recip - 0.5
+    off_y = (sj_ref[:] + u_jy) * recip - 0.5
+    px = pi_ref[:] + off_x
+    py = pj_ref[:] + off_y
     sx = cam[0, 0] + px * cam[0, 3] + py * cam[0, 6]
     sy = cam[0, 1] + px * cam[0, 4] + py * cam[0, 7]
     sz = cam[0, 2] + px * cam[0, 5] + py * cam[0, 8]
     if has_defocus:
-        r_d = jnp.sqrt(u01(2))
-        phi_d = (2.0 * math.pi) * u01(3)
+        u_da = u01(2)
+        u_db = u01(3)
+        r_d = jnp.sqrt(u_da)
+        phi_d = (2.0 * math.pi) * u_db
         da = r_d * jnp.cos(phi_d)
         db = r_d * jnp.sin(phi_d)
         cx = cam[0, 9] + da * cam[0, 12] + db * cam[0, 15]
@@ -1029,6 +964,7 @@ def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
         cx = cam[0, 9] + jnp.zeros_like(sx)
         cy = cam[0, 10] + jnp.zeros_like(sx)
         cz = cam[0, 11] + jnp.zeros_like(sx)
+    u_t = u01(4)
 
     ox = jnp.where(take, cx, ox_ref[:])
     oy = jnp.where(take, cy, oy_ref[:])
@@ -1036,13 +972,18 @@ def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
     dx = jnp.where(take, sx - cx, dx_ref[:])
     dy = jnp.where(take, sy - cy, dy_ref[:])
     dz = jnp.where(take, sz - cz, dz_ref[:])
-    tm = jnp.where(take, u01(4), time_ref[:])
-    alive = alive_in | take
+    tm = jnp.where(take, u_t, time_ref[:])
+    alive = (alive_ref[:] > 0) | take
     depth = jnp.where(take, 0, depth_ref[:])
-    started_ref[:] = take.astype(jnp.int32)
 
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     n_u_step = N_U + st["n_media"]
+    n_rec = 8 + (4 if st["has_image"] else 0)
+    refs = iter(out_refs)
+    rec_refs = [[next(refs) for _ in range(n_rec)] for _ in range(n_inner)]
+    (sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
+     stm_ref, salive_ref, sdepth_ref) = [next(refs) for _ in range(9)]
+
     for j in range(n_inner):
         u = [u01(N_U_RAYGEN + j * n_u_step + k) for k in range(n_u_step)]
         (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
@@ -1057,10 +998,12 @@ def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
         rr[4][:] = wg
         rr[5][:] = wb
         rr[6][:] = cf.astype(jnp.int32)
-        rr[7][:] = alive.astype(jnp.int32)
+        rr[7][:] = alive.astype(jnp.int32)   # segment mask for this step
         if st["has_image"]:
             for ref, val in zip(rr[8:], img_out):
                 ref[:] = val
+        # depth cap (camera.go:293-296): level depth+1 was just recorded; a
+        # path gets exactly max_depth+1 levels
         alive_out = alive_out & (depth < max_depth)
         depth = jnp.where(alive, depth + 1, depth)
         ox, oy, oz = nox, noy, noz
@@ -1077,25 +1020,22 @@ def _queue_kernel(st, has_defocus, max_depth, n_inner, npix, width, sqrt_spp,
     salive_ref[:] = alive.astype(jnp.int32)
     sdepth_ref[:] = depth
 
-    @pl.when(tile_i == pl.num_programs(0) - 1)
-    def _():
-        cur_out_ref[0] = scratch[0]
-        cur_out_ref[1] = scratch[1]
-        cur_out_ref[2] = scratch[2]
+
+def pack_camera(arrays) -> jnp.ndarray:
+    """Flatten CameraArrays to the fused kernel's (1, 20) row."""
+    return jnp.concatenate([
+        arrays.pixel00, arrays.du, arrays.dv, arrays.center,
+        arrays.defocus_u, arrays.defocus_v,
+        jnp.asarray([arrays.recip_spp_sqrt, 0.0], jnp.float32),
+    ]).astype(jnp.float32).reshape(1, 20)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "st_key", "has_defocus", "max_depth", "n_inner", "npix", "width",
-    "sqrt_spp", "interpret"))
-def bounce_fused_queue(prims, lights, med, cam_row, bg, scalars,
-                       o, d, time, alive_i32, depth,
-                       *, st_key, has_defocus, max_depth, n_inner, npix,
-                       width, sqrt_spp, interpret=False):
-    """n_inner bounce steps + the queue refill itself in one kernel.
-
-    scalars: (6,) int32 [seed, do_refill, cursor, pid_at_cursor,
-    stratum_at_cursor, item_end]. Returns (recs, started, new_o, new_d,
-    new_time, alive', depth', cursors_out (3,))."""
+@functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
+                                             "max_depth", "n_inner",
+                                             "interpret"))
+def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+                      o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                      st_key, has_defocus, max_depth, n_inner, interpret):
     st = dict(st_key)
     n = o.shape[0]
     assert n % (TILE_ROWS * LANE) == 0, n
@@ -1105,9 +1045,12 @@ def bounce_fused_queue(prims, lights, med, cam_row, bg, scalars,
     state_planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
                     plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
                     plane(time), plane(alive_i32), plane(depth)]
+    refill_planes = [plane(take_i32), plane(pi), plane(pj),
+                     plane(si), plane(sj)]
 
-    kernel = functools.partial(_queue_kernel, st, has_defocus, max_depth,
-                               n_inner, npix, width, sqrt_spp)
+    kernel = functools.partial(_fused_kernel, st, has_defocus, max_depth,
+                               n_inner)
+
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
@@ -1115,16 +1058,13 @@ def bounce_fused_queue(prims, lights, med, cam_row, bg, scalars,
                  pl.BlockSpec((1, 20), lambda i: (0, 0)),
                  pl.BlockSpec((1, 3), lambda i: (0, 0)),
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [row_spec] * 9)
+                + [row_spec] * (9 + 5))
     f32 = jnp.float32
     n_img = 4 if st["has_image"] else 0
     rec_dtypes = [f32] * 6 + [jnp.int32] * 2 + [f32] * n_img
-    out_dtypes = rec_dtypes * n_inner + [jnp.int32] + [f32] * 7 \
-        + [jnp.int32] * 2
-    out_specs = [row_spec] * len(out_dtypes) \
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes] \
-        + [jax.ShapeDtypeStruct((3,), jnp.int32)]
+    out_dtypes = rec_dtypes * n_inner + [f32] * 7 + [jnp.int32] * 2
+    out_specs = [row_spec] * len(out_dtypes)
+    out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes]
 
     outs = pl.pallas_call(
         kernel,
@@ -1132,10 +1072,9 @@ def bounce_fused_queue(prims, lights, med, cam_row, bg, scalars,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
     )(prims, lights, med, cam_row, bg.reshape(1, 3).astype(f32),
-      scalars.astype(jnp.int32), *state_planes)
+      seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
     unp = lambda x: x.reshape(n)
     n_rec = len(rec_dtypes)
@@ -1147,18 +1086,27 @@ def bounce_fused_queue(prims, lights, med, cam_row, bg, scalars,
         W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
         img = tuple(unp(x) for x in img_outs) if img_outs else None
         recs.append((E, W, unp(cf) > 0, unp(seg) > 0, img))
-    (started, nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2,
-     cur_out) = outs[n_inner * n_rec:]
+    (nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2) = \
+        outs[n_inner * n_rec:]
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
-    return (recs, unp(started) > 0, new_o, new_d, unp(ntm), unp(alive2),
-            unp(depth2), cur_out)
+    return recs, new_o, new_d, unp(ntm), unp(alive2), unp(depth2)
 
 
-def pack_camera(arrays) -> jnp.ndarray:
-    """Flatten CameraArrays to the fused kernel's (1, 20) row."""
-    return jnp.concatenate([
-        arrays.pixel00, arrays.du, arrays.dv, arrays.center,
-        arrays.defocus_u, arrays.defocus_v,
-        jnp.asarray([arrays.recip_spp_sqrt, 0.0], jnp.float32),
-    ]).astype(jnp.float32).reshape(1, 20)
+def bounce_fused(scene_tables, statics, cam_row, bg, seed,
+                 o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                 *, has_defocus, max_depth, n_inner=1, interpret=False):
+    """`n_inner` fused regeneration steps in one kernel call (refill only
+    at the first). All lane arrays are (N,) / (N,3) with N a multiple of
+    TILE_ROWS*128 (the regen pool is sized accordingly).
+
+    Returns (recs, new_o, new_d, new_time, alive', depth') where recs is a
+    list of n_inner (E, W, cf, seg_mask, img) record tuples and img is
+    None or the planes for `patch_image_weight`."""
+    prims, lights, med = scene_tables
+    return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+                             o, d, time, alive_i32, depth, take_i32,
+                             pi, pj, si, sj,
+                             st_key=_statics_key(statics),
+                             has_defocus=has_defocus, max_depth=max_depth,
+                             n_inner=n_inner, interpret=interpret)
