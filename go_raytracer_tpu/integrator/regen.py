@@ -212,7 +212,9 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             acc_c, row, (ni_s - item_base, jnp.int32(0))), None
 
     acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
-    return acc, state, next_item, jnp.sum(segs)
+    # one packed scalar pair -> ONE host readback per window (each separate
+    # int() readback pays a full tunnel round trip, ~25ms)
+    return acc, state, jnp.stack([next_item, jnp.sum(segs)])
 
 
 @partial(jax.jit, donate_argnums=(2, 3),
@@ -303,9 +305,10 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         base = i * jnp.int32(chunk)
         end = jnp.minimum(base + chunk, total_items)
         bkey = jax.random.fold_in(wkey, i)
-        acc2, state2, next2, seg = _window_impl(
+        acc2, state2, cur = _window_impl(
             scene_a, arrays_a, acc_s[0], tuple(x[0] for x in state_s),
             next_s[0], bkey, base, end, **statics)
+        next2, seg = cur[0], cur[1]
         # replicated outputs (psum over ICI) so the host loop never reads a
         # sharded array — required for multi-host operation
         seg_all = jax.lax.psum(seg, axis)
@@ -432,27 +435,30 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             n_windows = int(lmeta.get("windows", 0))
     bar = progress.Bar(total_items, enabled=verbose)
     bar.tick(int(next_item))
+    next_i = int(next_item)
     window_times = []
     t0 = _time.perf_counter()
-    while int(next_item) < total_items:
+    while next_i < total_items:
         wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
-        acc, state, next_item, seg = _run_window(
+        acc, state, cur = _run_window(
             scene, arrays, acc, state, next_item, wkey,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
             window=window, refill=refill, cadence=cadence, n_u=n_u,
             max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
             interpret=jax.default_backend() != "tpu")
-        segments += int(seg)      # device sync: readback bounds the window
+        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback/window
+        next_item = jnp.int32(next_i)
+        segments += seg
         n_windows += 1
         window_times.append(_time.perf_counter() - wt0)
-        bar.tick(int(next_item) - bar.done)
+        bar.tick(next_i - bar.done)
         if checkpoint_path and (n_windows % checkpoint_every == 0
-                                or int(next_item) >= total_items):
+                                or next_i >= total_items):
             meta["windows"] = n_windows
             checkpoint_mod.save(checkpoint_path, np.asarray(acc),
-                                int(next_item), meta)
+                                next_i, meta)
     acc.block_until_ready()
     bar.close()
     elapsed = _time.perf_counter() - t0
