@@ -56,19 +56,58 @@ from go_raytracer_tpu.scene import types as T
 def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                  acc, state, next_item, base_key, item_base, item_end, *,
                  width, npix, sqrt_spp, window, refill, cadence,
-                 n_u, max_depth, max_contribution, use_pallas, interpret):
+                 n_u, max_depth, max_contribution, use_pallas, interpret,
+                 reorder=False):
     """One generation window over [item_base, item_end) — the shard-local
     core shared by the single-device and shard_map paths. `acc` rows are
-    relative to item_base."""
+    relative to item_base.
+
+    `reorder` (dense-primitive scenes, pallas path only): lanes are sorted into spatially
+    coherent order (direction octant + origin Morton cell, dead lanes
+    last) before every kernel call, enabling the kernel's per-block AABB
+    cull — tile-uniform skips only pay off when a tile's rays agree on
+    which blocks matter (the unsorted variant measured 16% SLOWER on
+    book1, docs/PERFORMANCE.md). The permutation is recorded per outer
+    step and unwound inside the reverse scan (one unique-key lane sort)
+    so lane timelines stay consistent across the sort boundaries."""
     n = state[0].shape[0]
     dtype = state[0].dtype
+    reorder = reorder and use_pallas
 
     if use_pallas:
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
 
         tables = pallas_bounce.pack_scene(scene)
         statics = pallas_bounce.scene_statics(scene)
+        statics["cull"] = reorder
         cam_row = pallas_bounce.pack_camera(arrays)
+        if reorder:
+            blk = tables[3]
+            blo = jnp.min(blk[:, 0:3], axis=0)
+            bext = jnp.maximum(jnp.max(blk[:, 3:6], axis=0) - blo, 1e-6)
+
+    def coherence_sort(o, d, t, alive, item_id, depth):
+        """Sort the lane pool by (octant, 27-bit origin Morton); dead lanes
+        (key MAX) form a contiguous tail where the refill's consecutive —
+        hence spatially coherent — camera rays will land. iota as a second
+        sort key gives a total order: deterministic without is_stable."""
+        from go_raytracer_tpu.ops.pallas import bounce as pb
+        morton = pb._morton30(o, blo, bext)
+        octant = ((d[:, 0] > 0).astype(jnp.int32) << 2) \
+            | ((d[:, 1] > 0).astype(jnp.int32) << 1) \
+            | (d[:, 2] > 0).astype(jnp.int32)
+        key = (octant << 27) | (morton >> 3)
+        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
+        iota = jnp.arange(n, dtype=jnp.int32)
+        (_, _, perm, ox, oy, oz, dx, dy, dz, t, alive_i, item_id,
+         depth) = jax.lax.sort(
+            (key, iota, iota, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t, alive.astype(jnp.int32),
+             item_id, depth),
+            dimension=0, num_keys=2, is_stable=False)
+        o = jnp.stack([ox, oy, oz], axis=-1)
+        d = jnp.stack([dx, dy, dz], axis=-1)
+        return o, d, t, alive_i > 0, item_id, depth, perm
 
     def refill_assign(next_item, alive, do_refill):
         """Queue items -> dead lanes (vectorized rank via cumsum); takes
@@ -88,31 +127,49 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         """`cadence` bounce steps in ONE kernel call: PRNG, camera ray-gen,
         bounces, depth cap (ops/pallas/bounce.bounce_fused with
         n_inner=cadence; the queue refill — the only part needing XLA's
-        integer bookkeeping — happens just before the first inner step)."""
+        integer bookkeeping — happens just before the first inner step).
+
+        Records stay in the kernel's native component-plane layout
+        ((cadence, N) per color channel, free reshapes only) — the round-2
+        profile showed the scan's record management (the (N,3) interleave +
+        per-step stacking this replaces) costing 22.6ms vs 16.5ms for the
+        kernel itself."""
         state, next_item = carry
         seed_i32, do_refill = inputs
         o, d, t, alive, item_id, depth = state
+        if reorder:
+            o, d, t, alive, item_id, depth, perm = coherence_sort(
+                o, d, t, alive, item_id, depth)
         ni_step = next_item
         take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
         pi = (pid % width).astype(dtype)
         pj = (pid // width).astype(dtype)
-        recs, no, nd, ntm, alive2, depth2 = pallas_bounce.bounce_fused(
-            tables, statics, cam_row, scene.background, seed_i32,
-            o, d, t, alive.astype(jnp.int32), depth,
-            take.astype(jnp.int32), pi, pj, s_i, s_j,
-            has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
-            n_inner=cadence, interpret=interpret)
+        (rec_planes, img_planes, segc, no, nd, ntm, alive2, depth2) = \
+            pallas_bounce.bounce_fused(
+                tables, statics, cam_row, scene.background, seed_i32,
+                o, d, t, alive.astype(jnp.int32), depth,
+                take.astype(jnp.int32), pi, pj, s_i, s_j,
+                has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
+                n_inner=cadence, interpret=interpret)
         item_id = jnp.where(take, item, item_id)
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
-        Es = jnp.stack([r[0] for r in recs])
-        Ws = jnp.stack([pallas_bounce.patch_image_weight(scene, r[1], r[4])
-                        for r in recs])
-        CFs = jnp.stack([r[2] for r in recs])
-        STs = jnp.concatenate([take[None],
-                               jnp.zeros((cadence - 1,) + take.shape, bool)])
-        NIs = jnp.full((cadence,), ni_step, jnp.int32)
-        seg = sum(jnp.sum(r[3].astype(jnp.int32)) for r in recs)
-        rec = (Es, Ws, CFs, STs, NIs)
+        Er, Eg, Eb, Wr, Wg, Wb, CF = rec_planes
+        if img_planes is not None:
+            # image-texture patch (texture.go:70-86), batched over the whole
+            # cadence block: W = texel(u, v) * ratio on flagged lanes
+            from go_raytracer_tpu.integrator import sampling
+            ratio, uu, vv, iid = img_planes
+            is_img = iid >= 0.0
+            idx = jnp.where(is_img, iid, 0.0).astype(jnp.int32)
+            texel = sampling.image_value(
+                scene, idx.reshape(-1), uu.reshape(-1), vv.reshape(-1))
+            sh = Wr.shape
+            Wr = jnp.where(is_img, texel[:, 0].reshape(sh) * ratio, Wr)
+            Wg = jnp.where(is_img, texel[:, 1].reshape(sh) * ratio, Wg)
+            Wb = jnp.where(is_img, texel[:, 2].reshape(sh) * ratio, Wb)
+        rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take, ni_step) + \
+            ((perm,) if reorder else ())
+        seg = jnp.sum(segc)
         return ((no, nd, ntm, alive2 > 0, item_id, depth2), next_item), (rec, seg)
 
     def fwd_step(carry, inputs):
@@ -149,60 +206,88 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rec = (E, W, cf & alive, take, ni_step)
         return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
 
+    outer = window // cadence
+    refill_outer = -(-refill // cadence)
     if use_pallas:
         # one scan iteration = `cadence` kernel-internal bounce steps
-        outer = window // cadence
         osteps = jnp.arange(outer) * cadence
         do_refills = osteps < refill
         seeds = jax.random.randint(base_key, (outer,), jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
+        (state, next_item), (rec_ys, segs) = jax.lax.scan(
             fwd_step_fused, (state, next_item), (seeds, do_refills))
-        # flatten (outer, cadence, ...) records back to per-step planes
-        Es = Es.reshape((window,) + Es.shape[2:])
-        Ws = Ws.reshape((window,) + Ws.shape[2:])
-        CFs = CFs.reshape((window,) + CFs.shape[2:])
-        STs = STs.reshape((window,) + STs.shape[2:])
-        NIs = NIs.reshape(window)
+        # ys shapes: E*/W*/CF (outer, cadence, N); STs (outer, N); NIs (outer,)
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs, NIs) = rec_ys[:9]
+        PERMs = rec_ys[9] if reorder else None
     else:
         steps = jnp.arange(window)
         do_refills = (steps < refill) & (steps % cadence == 0)
         step_keys = jax.random.split(base_key, window)
-        (state, next_item), ((Es, Ws, CFs, STs, NIs), segs) = jax.lax.scan(
+        (state, next_item), ((Es, Ws, CFs, STs_w, NIs_w), segs) = jax.lax.scan(
             fwd_step, (state, next_item), (step_keys, do_refills))
+        # convert per-step (window, N, 3) records to the unified
+        # component-plane outer layout (slow fallback path only)
+        comp = lambda x, c: x[..., c].reshape(outer, cadence, n)
+        Er, Eg, Eb = (comp(Es, c) for c in range(3))
+        Wr, Wg, Wb = (comp(Ws, c) for c in range(3))
+        CF = CFs.reshape(outer, cadence, n)
+        STs = STs_w.reshape(outer, cadence, n)[:, 0]   # refills only at j==0
+        NIs = NIs_w.reshape(outer, cadence)[:, 0]
 
-    # reverse harvest: L = clamp?(E + W*L). TPU scatters serialize
-    # (~75ns/row — the original per-step scatter-set was 97% of window
-    # time) and a single global sort of window*N entries is ~2/3 of window
-    # time, so instead: within a step the taken lanes are a PREFIX of dead
-    # lanes in lane order, i.e. already in slot order. A batched per-row
-    # stable sort by the 1-bit started flag compacts each step's harvests
-    # to the row front, and rows land with sequential dynamic-update-slices
-    # at their recorded item bases — later rows' zero padding only ever
-    # overwrites item rows that a later row then fills with real data.
-    def rev_step(L, xs):
-        E, W, cf, started, _ = xs
-        raw = E + W * L
-        L = jnp.where(cf[:, None],
-                      wavefront.clamp_contribution(raw, max_contribution),
-                      raw)
-        harvest = jnp.where(started[:, None], L, 0.0)
-        L = jnp.where(started[:, None], 0.0, L)
-        return L, (harvest, started)
+    # reverse harvest: L = clamp?(E + W*L), one OUTER step (cadence bounce
+    # levels, unrolled) per scan iteration — 4x fewer scan iterations and
+    # one harvest row per outer step instead of one per bounce. TPU
+    # scatters serialize (~75ns/row — the original per-step scatter-set was
+    # 97% of window time) and a single global sort of window*N entries is
+    # ~2/3 of window time, so instead: within a step the taken lanes are a
+    # PREFIX of dead lanes in lane order, i.e. already in slot order. A
+    # batched per-row stable sort by the 1-bit started flag compacts each
+    # step's harvests to the row front, and rows land with sequential
+    # contiguous dynamic-update-slices at their recorded item bases —
+    # later rows' zero padding only ever overwrites item rows that a later
+    # row then fills with real data.
+    def rev_outer(L, xs):
+        er, eg, eb, wr, wg, wb, cf, started = xs[:8]
+        Lr, Lg, Lb = L
+        for j in reversed(range(cadence)):
+            raw_r = er[j] + wr[j] * Lr
+            raw_g = eg[j] + wg[j] * Lg
+            raw_b = eb[j] + wb[j] * Lb
+            # firefly clamp (camera.go:334-341): rescale so the component
+            # sum <= max_contribution; NaN sums compare false (Go parity)
+            s = raw_r + raw_g + raw_b
+            over = (cf[j] != 0) & (s > max_contribution)
+            scale = jnp.where(over, max_contribution / jnp.where(over, s, 1.0),
+                              1.0)
+            Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
+        hr = jnp.where(started, Lr, 0.0)
+        hg = jnp.where(started, Lg, 0.0)
+        hb = jnp.where(started, Lb, 0.0)
+        Lr = jnp.where(started, 0.0, Lr)
+        Lg = jnp.where(started, 0.0, Lg)
+        Lb = jnp.where(started, 0.0, Lb)
+        if reorder:
+            # unwind this outer step's lane sort so L lines up with the
+            # PREVIOUS outer step's records (perm is a unique key: one
+            # unstable lane-wide sort restores pre-sort order exactly)
+            _, Lr, Lg, Lb = jax.lax.sort((xs[8], Lr, Lg, Lb),
+                                         dimension=0, num_keys=1,
+                                         is_stable=False)
+        return (Lr, Lg, Lb), (hr, hg, hb)
 
-    _, (Hs, starts) = jax.lax.scan(
-        rev_step, jnp.zeros((n, 3), dtype),
-        (Es, Ws, CFs, STs, NIs), reverse=True)
+    zero_l = jnp.zeros((n,), dtype)
+    rev_xs = (Er, Eg, Eb, Wr, Wg, Wb, CF, STs) + \
+        ((PERMs,) if reorder else ())
+    _, (Hr, Hg, Hb) = jax.lax.scan(
+        rev_outer, (zero_l, zero_l, zero_l), rev_xs, reverse=True)
 
-    # only refill steps can start paths: compact/write those rows only
-    # (static strided slice — drain-tail rows carry no harvests)
-    Hs = Hs[0:refill:cadence]
-    starts = starts[0:refill:cadence]
-    NIs_s = NIs[0:refill:cadence]
-
+    # only refill outer steps can start paths: compact/write those rows
+    # only (static slice — drain-tail rows carry no harvests)
+    starts = STs[:refill_outer]
+    NIs_s = NIs[:refill_outer]
     keys = jnp.logical_not(starts).astype(jnp.int8)  # started rows first
     _, hr, hg, hb = jax.lax.sort(
-        (keys, Hs[..., 0], Hs[..., 1], Hs[..., 2]),
+        (keys, Hr[:refill_outer], Hg[:refill_outer], Hb[:refill_outer]),
         dimension=-1, num_keys=1, is_stable=True)
     rows = jnp.stack([hr, hg, hb], axis=-1)  # (n_start_rows, N, 3)
 
@@ -220,24 +305,41 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
 @partial(jax.jit, donate_argnums=(2, 3),
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "cadence", "n_u", "max_depth",
-                          "max_contribution", "use_pallas", "interpret"))
+                          "max_contribution", "use_pallas", "interpret",
+                          "reorder"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill, cadence,
-                n_u, max_depth, max_contribution, use_pallas, interpret):
+                n_u, max_depth, max_contribution, use_pallas, interpret,
+                reorder=False):
     return _window_impl(
         scene, arrays, acc, state, next_item, base_key,
         jnp.int32(0), jnp.int32(total_items),
         width=width, npix=npix, sqrt_spp=sqrt_spp, window=window,
         refill=refill, cadence=cadence, n_u=n_u, max_depth=max_depth,
         max_contribution=max_contribution, use_pallas=use_pallas,
-        interpret=interpret)
+        interpret=interpret, reorder=reorder)
+
+
+REORDER_MIN_ROWS = 64  # dense-section threshold for lane coherence sorting
+
+
+def _auto_reorder(use_pallas, scene, reorder):
+    """Coherence-reorder policy: explicit bool wins; "auto" enables it on
+    the pallas path for scenes whose primitive table is big enough that
+    the fori-loop block cull can pay for the per-step lane sorts."""
+    if isinstance(reorder, bool):
+        return reorder
+    if not use_pallas:
+        return False
+    from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+    return pallas_bounce.scene_statics(scene)["n_rows"] > REORDER_MIN_ROWS
 
 
 def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                          n_lanes: int = 1 << 17, refill_len: int = 0,
                          cadence: int = 1, backend: str = "auto",
-                         dtype=jnp.float32):
+                         reorder="auto", dtype=jnp.float32):
     """Multi-device regeneration render over a 1-D `jax.sharding.Mesh`.
 
     TPU-native scaling design: the (pixel, stratum) queue is split into one
@@ -279,7 +381,8 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    max_depth=cam.max_depth,
                    max_contribution=cam.max_contribution,
                    use_pallas=use_pallas,
-                   interpret=jax.default_backend() != "tpu")
+                   interpret=jax.default_backend() != "tpu",
+                   reorder=_auto_reorder(use_pallas, scene, reorder))
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = (
@@ -368,7 +471,8 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 cadence: int = 1, backend: str = "auto", dtype=jnp.float32,
+                 cadence: int = 1, backend: str = "auto", reorder="auto",
+                 dtype=jnp.float32,
                  checkpoint_path=None, checkpoint_every: int = 4,
                  scene_name: str = "", verbose: bool = False):
     """Render the full image with ray regeneration — the production path.
@@ -447,7 +551,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             window=window, refill=refill, cadence=cadence, n_u=n_u,
             max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            reorder=_auto_reorder(use_pallas, scene, reorder))
         next_i, seg = (int(x) for x in np.asarray(cur))  # one readback/window
         next_item = jnp.int32(next_i)
         segments += seg

@@ -117,14 +117,39 @@ def scene_statics(scene: T.Scene) -> dict:
         has_isotropic=scene.has_isotropic or scene.has_media,
         has_noise=scene.has_noise,
         has_image=scene.has_image,
+        # block-AABB culling in the big-section fori loop: only worth it
+        # when the caller also sorts lanes into coherent tiles (regen's
+        # reorder path) — on incoherent tiles the test is pure overhead
+        # (measured -16% book1 / -8% book2, docs/PERFORMANCE.md)
+        cull=False,
     )
+
+
+def _part1by2(x):
+    """Spread 10 bits of x two apart (standard Morton magic numbers)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton30(p, lo, ext):
+    """30-bit Morton code of points (N, 3) inside the box [lo, lo+ext)."""
+    q = jnp.clip((p - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.int32)
+    return (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) | \
+        _part1by2(q[:, 2])
 
 
 def pack_scene(scene: T.Scene):
     """Join primitives with their material/texture parameters into a dense
     (P, P_COLS) row table (kind-sorted sections, each padded to a P_BLOCK
     multiple with kind=-1 rows), lights into (L, L_COLS), media into
-    (M, M_COLS). Pure jnp — traced once inside jit."""
+    (M, M_COLS), plus per-P_BLOCK-row AABBs (NB, 16) for the kernel's
+    block cull. Each section is Morton-sorted by primitive center first so
+    8-row blocks are spatially tight (the cull is worthless on blocks with
+    scene-wide bounds). Pure jnp — traced once inside jit."""
     mats = scene.materials
     tex = scene.textures
 
@@ -145,6 +170,25 @@ def pack_scene(scene: T.Scene):
             tex.image_id[tex_id].astype(jnp.float32),
         ]
 
+    def sort_section(rows, lo, hi, active):
+        """Morton-order the section's rows by AABB center (inactive rows
+        last) via a multi-operand lax.sort — keeps blocks spatially tight
+        without any gather."""
+        center = 0.5 * (lo + hi)
+        blo = jnp.min(jnp.where(active[:, None], lo, jnp.inf), axis=0)
+        bhi = jnp.max(jnp.where(active[:, None], hi, -jnp.inf), axis=0)
+        ext = jnp.maximum(bhi - blo, 1e-6)
+        key = jnp.where(active, _morton30(center, blo, ext),
+                        jnp.int32(2**30))
+        sorted_ops = jax.lax.sort(
+            (key, *(rows[:, c] for c in range(P_COLS)),
+             *(lo[:, i] for i in range(3)), *(hi[:, i] for i in range(3))),
+            dimension=0, num_keys=1, is_stable=True)
+        rows = jnp.stack(sorted_ops[1:1 + P_COLS], axis=1)
+        lo = jnp.stack(sorted_ops[1 + P_COLS:4 + P_COLS], axis=1)
+        hi = jnp.stack(sorted_ops[4 + P_COLS:7 + P_COLS], axis=1)
+        return rows, lo, hi
+
     def pad_section(rows):
         n = rows.shape[0]
         pad = (-n) % P_BLOCK
@@ -153,7 +197,22 @@ def pack_scene(scene: T.Scene):
                 [rows, jnp.full((pad, P_COLS), -1.0, rows.dtype)])
         return rows
 
+    def block_bounds(lo, hi, active):
+        """Per-P_BLOCK-row AABBs [min(3), max(3)] for the fori-loop cull:
+        inactive rows contribute an empty box."""
+        big = 3e38
+        lo = jnp.where(active[:, None], lo, big)
+        hi = jnp.where(active[:, None], hi, -big)
+        pad = (-lo.shape[0]) % P_BLOCK
+        if pad:
+            lo = jnp.concatenate([lo, jnp.full((pad, 3), big)])
+            hi = jnp.concatenate([hi, jnp.full((pad, 3), -big)])
+        lo = lo.reshape(-1, P_BLOCK, 3).min(axis=1)
+        hi = hi.reshape(-1, P_BLOCK, 3).max(axis=1)
+        return jnp.concatenate([lo, hi], axis=1)  # (NB, 6)
+
     sections = []
+    blocks = []
     if scene.has_spheres:
         sp = scene.spheres
         cols = ([jnp.zeros_like(sp.radius)]
@@ -162,9 +221,16 @@ def pack_scene(scene: T.Scene):
                 + [sp.radius, sp.radius * sp.radius]
                 + [jnp.zeros_like(sp.radius)] * 4  # pad to col 13
                 + mat_cols(sp.mat_id))
-        sections.append(pad_section(
-            jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
-                      jnp.full((sp.count, P_COLS), -1.0))))
+        rows = jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
+                         jnp.full((sp.count, P_COLS), -1.0))
+        c1 = sp.center0 + sp.center_delta  # motion endpoint (objects.go:30-37)
+        lo = jnp.minimum(sp.center0, c1) - sp.radius[:, None]
+        hi = jnp.maximum(sp.center0, c1) + sp.radius[:, None]
+        # sorting moves inactive (kind -1) rows to the tail where they act
+        # like the pad rows the candidate tests already reject
+        rows, lo, hi = sort_section(rows, lo, hi, sp.active)
+        sections.append(pad_section(rows))
+        blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
     if scene.has_quads:
         qd = scene.quads
         qcvw = jnp.sum(qd.q * qd.cvw, axis=-1)
@@ -176,10 +242,19 @@ def pack_scene(scene: T.Scene):
                 + [qd.cwu[:, i] for i in range(3)]
                 + [qcvw, qcwu]
                 + mat_cols(qd.mat_id))
-        sections.append(pad_section(
-            jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
-                      jnp.full((qd.count, P_COLS), -1.0))))
+        rows = jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
+                         jnp.full((qd.count, P_COLS), -1.0))
+        corners = jnp.stack([qd.q, qd.q + qd.u, qd.q + qd.v,
+                             qd.q + qd.u + qd.v])
+        eps = 1e-4  # padToMinimum-style epsilon for axis-flat quads
+        lo = corners.min(axis=0) - eps
+        hi = corners.max(axis=0) + eps
+        rows, lo, hi = sort_section(rows, lo, hi, qd.active)
+        sections.append(pad_section(rows))
+        blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
     prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
+    blk = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
+    blk = jnp.pad(blk, ((0, 0), (0, 10)))  # (NB, 16): one packed-line field
 
     lt = scene.lights
     lrows = []
@@ -224,7 +299,7 @@ def pack_scene(scene: T.Scene):
         + [md.neg_inv_density]
         + [alb[:, i] for i in range(3)],
         axis=1).astype(jnp.float32)
-    return prims, lights, med
+    return prims, lights, med, blk
 
 
 # ---------------------------------------------------------------------------
@@ -359,11 +434,15 @@ def _update_carry(carry, cand, g, rays, kind_code):
     return (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
 
 
-def _scan_section(prim_ref, base, n_real, candidate_fn, kind_code, rays,
-                  carry):
+def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
+                  rays, cull, carry):
     """Walk one kind-homogeneous section: fully unrolled when small, a
     fori_loop over P_BLOCK-row dynamic slices when large (keeps Mosaic's
-    program size independent of the primitive count)."""
+    program size independent of the primitive count). With `cull`, each
+    block's AABB (pack_scene.block_bounds, Morton-tight) is slab-tested
+    against the whole tile first and the rows are processed only when some
+    ray's interval beats its current t_best — a one-level BVH that pays
+    off when the caller delivers spatially coherent tiles."""
     if n_real == 0:
         return carry
     if n_real <= UNROLL_ROWS:
@@ -374,14 +453,45 @@ def _scan_section(prim_ref, base, n_real, candidate_fn, kind_code, rays,
         return carry
 
     n_blocks = (n_real + P_BLOCK - 1) // P_BLOCK
+    blk_base = base // P_BLOCK
+    ox, oy, oz, dx, dy, dz = rays[0], rays[1], rays[2], rays[3], rays[4], rays[5]
+    if cull:
+        tiny = 1e-30
+        sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
+        sdy = jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
+        sdz = jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
+        ix, iy, iz = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
 
-    def body(b, carry):
+    def process_block(b, carry):
         rows = prim_ref[pl.ds(base + b * P_BLOCK, P_BLOCK), :]
         for r in range(P_BLOCK):
             g = lambda c, r=r: rows[r, c]
             carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
                                   g, rays, kind_code)
         return carry
+
+    if not cull:
+        return jax.lax.fori_loop(0, n_blocks, process_block, carry)
+
+    def body(b, carry):
+        brow_ = blk_ref[pl.ds(blk_base + b, 1), :]
+        brow = lambda c: brow_[0, c]
+        tx0 = (brow(0) - ox) * ix
+        tx1 = (brow(3) - ox) * ix
+        ty0 = (brow(1) - oy) * iy
+        ty1 = (brow(4) - oy) * iy
+        tz0 = (brow(2) - oz) * iz
+        tz1 = (brow(5) - oz) * iz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        hit_box = jnp.maximum(near, T_MIN) < jnp.minimum(far, carry[0])
+        return jax.lax.cond(jnp.any(hit_box),
+                            lambda c: process_block(b, c),
+                            lambda c: c, carry)
 
     return jax.lax.fori_loop(0, n_blocks, body, carry)
 
@@ -465,7 +575,7 @@ def _media_update(med_ref, n_media, rays, u, carry):
     return carry
 
 
-def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
+def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
                  ox, oy, oz, dx, dy, dz, tm, alive, u):
     """Shared bounce body over (R, 128) value planes: closest hit, media,
     shading, mixture sampling — the whole of camera.go:293-331's per-level
@@ -473,13 +583,14 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
     planes (E, W, cf, new origin, new direction, alive')."""
     a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
     rays = (ox, oy, oz, dx, dy, dz, tm, a_quad)
+    cull = st["cull"]
 
     # ---- closest hit over kind-homogeneous sections ---------------------
     carry = _init_carry(ox)
-    carry = _scan_section(prim_ref, st["sph_base"], st["n_sph"],
-                          _sphere_candidate, KIND_SPHERE, rays, carry)
-    carry = _scan_section(prim_ref, st["quad_base"], st["n_quad"],
-                          _quad_candidate, KIND_QUAD, rays, carry)
+    carry = _scan_section(prim_ref, blk_ref, st["sph_base"], st["n_sph"],
+                          _sphere_candidate, KIND_SPHERE, rays, cull, carry)
+    carry = _scan_section(prim_ref, blk_ref, st["quad_base"], st["n_quad"],
+                          _quad_candidate, KIND_QUAD, rays, cull, carry)
     if st["n_media"]:
         carry = _media_update(med_ref, st["n_media"], rays, u, carry)
 
@@ -748,7 +859,7 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, bg,
 
 
 def _bounce_kernel(st, n_u_tot,
-                   prim_ref, light_ref, med_ref, bg_ref,
+                   prim_ref, light_ref, med_ref, blk_ref, bg_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    time_ref, alive_ref, u_ref,
                    # outputs
@@ -760,7 +871,7 @@ def _bounce_kernel(st, n_u_tot,
     u = [u_ref[k] for k in range(n_u_tot)]
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
      img_out) = \
-        _bounce_core(st, prim_ref, light_ref, med_ref, bg,
+        _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
                      dx_ref[:], dy_ref[:], dz_ref[:],
                      time_ref[:], alive_ref[:] > 0, u)
@@ -787,7 +898,7 @@ def _statics_key(st: dict):
 
 
 @functools.partial(jax.jit, static_argnames=("st_key", "interpret"))
-def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
+def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
                 interpret):
     st = dict(st_key)
     n_u_tot = N_U + st["n_media"]
@@ -819,6 +930,7 @@ def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
     row_spec_f = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
     in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
+                 table_spec(blk),
                  pl.BlockSpec((1, 3), lambda i: (0, 0))]
                 + [row_spec_f] * 8
                 + [pl.BlockSpec((n_u_tot, TILE_ROWS, LANE),
@@ -838,7 +950,7 @@ def _bounce_jit(prims, lights, med, o, d, time, alive, u, bg, st_key,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, med, bg.reshape(1, 3).astype(jnp.float32),
+    )(prims, lights, med, blk, bg.reshape(1, 3).astype(jnp.float32),
       *planes, u_stack)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2,
@@ -875,8 +987,8 @@ def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
     Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,),
     img (None, or the (ratio, u, v, img_id) planes for
     `patch_image_weight`)."""
-    prims, lights, med = scene_tables
-    return _bounce_jit(prims, lights, med, o, d, time, alive, u, bg,
+    prims, lights, med, blk = scene_tables
+    return _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg,
                        st_key=_statics_key(statics), interpret=interpret)
 
 
@@ -916,7 +1028,8 @@ def _u01(lane_u32, seed_u32, slot: int):
 
 
 def _fused_kernel(st, has_defocus, max_depth, n_inner,
-                  prim_ref, light_ref, med_ref, cam_ref, bg_ref, seed_ref,
+                  prim_ref, light_ref, med_ref, blk_ref, cam_ref, bg_ref,
+                  seed_ref,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   time_ref, alive_ref, depth_ref,
                   take_ref, pi_ref, pj_ref, si_ref, sj_ref,
@@ -925,9 +1038,13 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
     at inner step 0 (aligned with the regen start cadence), so the XLA
     bookkeeping around the kernel is paid once per n_inner bounces.
 
-    out_refs layout: per inner step j, (E rgb, W rgb, cf, alive_seg
-    [+ ratio,u,v,img_id when has_image]) record planes; then the final
-    state planes (o xyz, d xyz, time, alive, depth)."""
+    out_refs layout: record stacks Er,Eg,Eb,Wr,Wg,Wb,cf
+    [+ ratio,u,v,img_id when has_image], each (n_inner, R, 128) — the
+    native component-plane layout the regen reverse scan consumes, so no
+    XLA-side (N,3) interleave/stack copies happen per step; then a
+    per-tile (1, n_inner) SMEM segment-count row (popcount of the alive
+    mask per inner step — replaces a full (N,) mask plane); then the
+    final state planes (o xyz, d xyz, time, alive, depth)."""
     # distinct stream per (step seed, global lane)
     shape = ox_ref.shape
     lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
@@ -978,9 +1095,10 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
 
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     n_u_step = N_U + st["n_media"]
-    n_rec = 8 + (4 if st["has_image"] else 0)
+    n_rec = 7 + (4 if st["has_image"] else 0)
     refs = iter(out_refs)
-    rec_refs = [[next(refs) for _ in range(n_rec)] for _ in range(n_inner)]
+    rec_refs = [next(refs) for _ in range(n_rec)]  # (n_inner, R, 128) each
+    seg_ref = next(refs)                           # (1, n_inner) SMEM counts
     (sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref,
      stm_ref, salive_ref, sdepth_ref) = [next(refs) for _ in range(9)]
 
@@ -988,20 +1106,22 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
         u = [u01(N_U_RAYGEN + j * n_u_step + k) for k in range(n_u_step)]
         (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
          alive_out, img_out) = \
-            _bounce_core(st, prim_ref, light_ref, med_ref, bg,
+            _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                          ox, oy, oz, dx, dy, dz, tm, alive, u)
-        rr = rec_refs[j]
-        rr[0][:] = er
-        rr[1][:] = eg
-        rr[2][:] = eb
-        rr[3][:] = wr
-        rr[4][:] = wg
-        rr[5][:] = wb
-        rr[6][:] = cf.astype(jnp.int32)
-        rr[7][:] = alive.astype(jnp.int32)   # segment mask for this step
+        rec_refs[0][j, :, :] = er
+        rec_refs[1][j, :, :] = eg
+        rec_refs[2][j, :, :] = eb
+        rec_refs[3][j, :, :] = wr
+        rec_refs[4][j, :, :] = wg
+        rec_refs[5][j, :, :] = wb
+        rec_refs[6][j, :, :] = cf.astype(jnp.int32)
+        # whole (n_tiles, n_inner) SMEM buffer mapped to every grid step
+        # (a (1, n_inner) block would fail Mosaic's divisibility check);
+        # each tile owns its program_id row
+        seg_ref[pl.program_id(0), j] = jnp.sum(alive.astype(jnp.int32))
         if st["has_image"]:
-            for ref, val in zip(rr[8:], img_out):
-                ref[:] = val
+            for ref, val in zip(rec_refs[7:], img_out):
+                ref[j, :, :] = val
         # depth cap (camera.go:293-296): level depth+1 was just recorded; a
         # path gets exactly max_depth+1 levels
         alive_out = alive_out & (depth < max_depth)
@@ -1033,7 +1153,7 @@ def pack_camera(arrays) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
                                              "max_depth", "n_inner",
                                              "interpret"))
-def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
                       o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
                       st_key, has_defocus, max_depth, n_inner, interpret):
     st = dict(st_key)
@@ -1052,19 +1172,28 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
                                n_inner)
 
     grid = (rows // TILE_ROWS,)
+    n_tiles = rows // TILE_ROWS
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    rec_spec = pl.BlockSpec((n_inner, TILE_ROWS, LANE), lambda i: (0, i, 0))
     table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
     in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
+                 table_spec(blk),
                  pl.BlockSpec((1, 20), lambda i: (0, 0)),
                  pl.BlockSpec((1, 3), lambda i: (0, 0)),
                  pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [row_spec] * (9 + 5))
     f32 = jnp.float32
     n_img = 4 if st["has_image"] else 0
-    rec_dtypes = [f32] * 6 + [jnp.int32] * 2 + [f32] * n_img
-    out_dtypes = rec_dtypes * n_inner + [f32] * 7 + [jnp.int32] * 2
-    out_specs = [row_spec] * len(out_dtypes)
-    out_shapes = [jax.ShapeDtypeStruct(shape, dt) for dt in out_dtypes]
+    rec_dtypes = [f32] * 6 + [jnp.int32] + [f32] * n_img
+    rec_shape = (n_inner, rows, LANE)
+    out_specs = ([rec_spec] * len(rec_dtypes)
+                 + [pl.BlockSpec((n_tiles, n_inner), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+                 + [row_spec] * 9)
+    out_shapes = ([jax.ShapeDtypeStruct(rec_shape, dt) for dt in rec_dtypes]
+                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), jnp.int32)]
+                  + [jax.ShapeDtypeStruct(shape, f32)] * 7
+                  + [jax.ShapeDtypeStruct(shape, jnp.int32)] * 2)
 
     outs = pl.pallas_call(
         kernel,
@@ -1073,24 +1202,22 @@ def _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(prims, lights, med, cam_row, bg.reshape(1, 3).astype(f32),
+    )(prims, lights, med, blk, cam_row, bg.reshape(1, 3).astype(f32),
       seed.reshape(1).astype(jnp.int32), *state_planes, *refill_planes)
 
     unp = lambda x: x.reshape(n)
     n_rec = len(rec_dtypes)
-    recs = []
-    for j in range(n_inner):
-        (er, eg, eb, wr, wg, wb, cf, seg, *img_outs) = \
-            outs[j * n_rec:(j + 1) * n_rec]
-        E = jnp.stack([unp(er), unp(eg), unp(eb)], axis=-1)
-        W = jnp.stack([unp(wr), unp(wg), unp(wb)], axis=-1)
-        img = tuple(unp(x) for x in img_outs) if img_outs else None
-        recs.append((E, W, unp(cf) > 0, unp(seg) > 0, img))
-    (nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2) = \
-        outs[n_inner * n_rec:]
+    # record planes stay in native layout: (n_inner, rows, 128) -> a free
+    # reshape to (n_inner, N); the regen reverse scan consumes them as-is
+    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:7])
+    img_planes = tuple(x.reshape(n_inner, n) for x in outs[7:n_rec]) \
+        if n_img else None
+    seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
+    (nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2) = outs[n_rec + 1:]
     new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
     new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
-    return recs, new_o, new_d, unp(ntm), unp(alive2), unp(depth2)
+    return (rec_planes, img_planes, seg_counts, new_o, new_d, unp(ntm),
+            unp(alive2), unp(depth2))
 
 
 def bounce_fused(scene_tables, statics, cam_row, bg, seed,
@@ -1100,11 +1227,13 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
     at the first). All lane arrays are (N,) / (N,3) with N a multiple of
     TILE_ROWS*128 (the regen pool is sized accordingly).
 
-    Returns (recs, new_o, new_d, new_time, alive', depth') where recs is a
-    list of n_inner (E, W, cf, seg_mask, img) record tuples and img is
-    None or the planes for `patch_image_weight`."""
-    prims, lights, med = scene_tables
-    return _bounce_fused_jit(prims, lights, med, cam_row, bg, seed,
+    Returns (rec_planes, img_planes, seg_counts, new_o, new_d, new_time,
+    alive', depth'): rec_planes = (Er, Eg, Eb, Wr, Wg, Wb, cf_i32), each
+    (n_inner, N) in native lane order; img_planes = None or
+    (ratio, u, v, img_id) with the same shape; seg_counts = (n_inner,)
+    traced-segment counts."""
+    prims, lights, med, blk = scene_tables
+    return _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
                              o, d, time, alive_i32, depth, take_i32,
                              pi, pj, si, sj,
                              st_key=_statics_key(statics),

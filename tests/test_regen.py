@@ -359,3 +359,47 @@ def test_occupancy_beats_plain_wavefront():
     # on this tiny workload the queue drains within one window, so the
     # drain tail caps occupancy well below the large-render figure (~0.5)
     assert st["occupancy"] > 0.25
+
+def test_reorder_exact_accounting_and_depth():
+    """Coherence reordering (lane sorts between kernel calls + in-reverse
+    unpermute) must not change the exact per-item radiance accounting:
+    the all-miss background and the deterministic mirror-corridor images
+    must be bit-identical invariants, independent of lane order."""
+    scene = empty_scene(bg=(0.2, 0.4, 0.8))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    img, stats = regen.render_regen(scene, cam, jax.random.key(0),
+                                    n_lanes=4096, cadence=2,
+                                    backend="pallas", reorder=True)
+    np.testing.assert_allclose(img[..., 0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], 0.8, atol=1e-6)
+    assert stats["segments"] == 16 * 16 * 9
+
+    scene2 = mirror_corridor()
+    cam2 = Camera(width=4, aspect_ratio=1.0, samples_per_pixel=4,
+                  max_depth=2, vertical_fov=2.0, focus_distance=1.0)
+    cam2.position((0, 0, 0), (0, 0, -1))
+    img2, st2 = regen.render_regen(scene2, cam2, jax.random.key(0),
+                                   n_lanes=4096, cadence=2,
+                                   backend="pallas", reorder=True)
+    np.testing.assert_allclose(
+        img2, np.broadcast_to([2.0, 3.0, 4.0], img2.shape), atol=1e-5)
+    assert st2["segments"] == 4 * 4 * 4 * 3
+
+
+def test_reorder_statistical_agreement_dense_scene():
+    """book1 (dense sphere section, auto-reorder on the pallas path) must
+    statistically agree with the XLA integrator under reordering + the
+    block-AABB cull — catches any cull false-negative (a skipped block
+    that some lane needed would bias the image, not just noise it)."""
+    from go_raytracer_tpu.scenes import registry
+    scene, cam = registry.book1()
+    cam.width = 48
+    cam.samples_per_pixel = 4
+    cam.max_depth = 4
+    img_p, _ = regen.render_regen(scene, cam, jax.random.key(0),
+                                  n_lanes=4096, cadence=4, backend="pallas")
+    img_x, _ = regen.render_regen(scene, cam, jax.random.key(1),
+                                  n_lanes=4096, cadence=4, backend="xla")
+    assert abs(float(img_p.mean()) - float(img_x.mean())) < 0.02
+    assert float(np.abs(img_p - img_x).mean()) < 0.15
