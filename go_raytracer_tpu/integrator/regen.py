@@ -321,19 +321,15 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         interpret=interpret, reorder=reorder)
 
 
-REORDER_MIN_ROWS = 64  # dense-section threshold for lane coherence sorting
-
-
 def _auto_reorder(use_pallas, scene, reorder):
-    """Coherence-reorder policy: explicit bool wins; "auto" enables it on
-    the pallas path for scenes whose primitive table is big enough that
-    the fori-loop block cull can pay for the per-step lane sorts."""
+    """Coherence-reorder policy: explicit bool wins; "auto" currently
+    resolves to OFF — measured on the v5e (scripts/ab_reorder.py), the
+    per-step lane sorts cost about what the block cull saves (book1
+    100spp: 26.8M unsorted vs 24.6M sorted; book2 25spp: +0.7%), so the
+    machinery stays available for experiments but is not the default."""
     if isinstance(reorder, bool):
-        return reorder
-    if not use_pallas:
-        return False
-    from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
-    return pallas_bounce.scene_statics(scene)["n_rows"] > REORDER_MIN_ROWS
+        return reorder and use_pallas
+    return False
 
 
 def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,

@@ -388,17 +388,18 @@ def test_reorder_exact_accounting_and_depth():
 
 
 def test_reorder_statistical_agreement_dense_scene():
-    """book1 (dense sphere section, auto-reorder on the pallas path) must
-    statistically agree with the XLA integrator under reordering + the
-    block-AABB cull — catches any cull false-negative (a skipped block
-    that some lane needed would bias the image, not just noise it)."""
+    """book1 (dense sphere section) with reordering + the block-AABB cull
+    explicitly enabled must statistically agree with the XLA integrator —
+    catches any cull false-negative (a skipped block that some lane needed
+    would bias the image, not just noise it)."""
     from go_raytracer_tpu.scenes import registry
     scene, cam = registry.book1()
     cam.width = 48
     cam.samples_per_pixel = 4
     cam.max_depth = 4
     img_p, _ = regen.render_regen(scene, cam, jax.random.key(0),
-                                  n_lanes=4096, cadence=4, backend="pallas")
+                                  n_lanes=4096, cadence=4, backend="pallas",
+                                  reorder=True)
     img_x, _ = regen.render_regen(scene, cam, jax.random.key(1),
                                   n_lanes=4096, cadence=4, backend="xla")
     assert abs(float(img_p.mean()) - float(img_x.mean())) < 0.02
