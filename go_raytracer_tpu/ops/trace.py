@@ -17,6 +17,8 @@ the current-best t equals rejecting candidates beyond it).
 
 from __future__ import annotations
 
+import os
+
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
@@ -195,11 +197,20 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None):
     o_s = jnp.stack([ox, oy, oz], axis=-1)
     d_s = jnp.stack([dx, dy, dz], axis=-1)
 
-    nodes, tris = ptrav.pack_bvh(scene)
-    t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,
-                                 n_nodes=bvh.n_nodes,
-                                 leaf_size=bvh.leaf_size,
-                                 interpret=jax.default_backend() != "tpu")
+    interpret = jax.default_backend() != "tpu"
+    if bvh.nodes8 is not None and os.environ.get("GRT_TRAVERSE8", "1") != "0":
+        # sublane-batched BVH8 walk (ops/pallas/traverse8.py): 8 child
+        # boxes per vector op, one walk per 128-lane row — the default
+        from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
+
+        t_s, i_s = ptrav8.bvh8_closest(bvh.nodes8, bvh.tris8, o_s, d_s,
+                                       cap_s, interpret=interpret)
+    else:
+        nodes, tris = ptrav.pack_bvh(scene)
+        t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,
+                                     n_nodes=bvh.n_nodes,
+                                     leaf_size=bvh.leaf_size,
+                                     interpret=interpret)
     # unsort: ordering by the permutation restores original lane order
     _, t_t, i_t = jax.lax.sort((perm, t_s, i_s), dimension=0, num_keys=1,
                                is_stable=False)

@@ -365,11 +365,23 @@ class SceneBuilder:
             has_uv = permute(has_uv)
             mat_id_tri = permute(mat_id_tri)
             fb.order[:n_td] = np.arange(n_td, dtype=np.int32)
+            # 8-wide collapse of the same hierarchy for the sublane-batched
+            # traversal kernel (scene/bvh8.py); built from the permuted
+            # table so leaf runs [first, first+count) index it directly
+            from go_raytracer_tpu.scene import bvh8 as bvh8_mod
+
+            v0_np = v[:n_td, 0]
+            b8 = bvh8_mod.collapse(
+                fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
+                v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
+                max_leaf=fb.leaf_size)
             tri_bvh = T.TriBVH(
                 node_min=f(fb.node_min), node_max=f(fb.node_max),
                 first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
                 order=i32(fb.order), n_nodes=fb.n_nodes,
-                leaf_size=fb.leaf_size)
+                leaf_size=fb.leaf_size,
+                nodes8=jnp.asarray(b8.node_lines),
+                tris8=jnp.asarray(b8.tri_lines))
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

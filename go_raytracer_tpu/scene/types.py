@@ -228,6 +228,10 @@ class TriBVH:
     order: jnp.ndarray     # (Tp,) int32 triangle ids, -1 padding
     n_nodes: int = struct.field(pytree_node=False, default=1)
     leaf_size: int = struct.field(pytree_node=False, default=8)
+    # 8-wide collapse for the sublane-batched traversal kernel
+    # (scene/bvh8.py / ops/pallas/traverse8.py); None when absent
+    nodes8: jnp.ndarray = None   # packed (R, 128) f32 register lines
+    tris8: jnp.ndarray = None    # packed (R2, 128) f32 register lines
 
 
 @struct.dataclass
