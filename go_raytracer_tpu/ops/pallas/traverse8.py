@@ -33,14 +33,22 @@ LANE = 128
 TILE_ROWS = 8          # 8 independent 128-ray walks per grid step
 T_MIN = 1.0e-3
 STACK = 192            # 8-ary depth ~6-8 => worst live stack ~60; headroom 3x
+UNROLL = 4             # stack pops per while iteration (amortizes loop cost)
 
 
 def _entry(ref, m):
-    """Load packed entry m: rows [(m>>3)*8, +8), lane-roll its 16-field
-    block to lanes [0, 16). Returns the rolled (8, 128) value — sublane =
-    child/triangle index, lanes 0..15 = fields."""
+    """Load line-packed entry m (8 entries per line, scene/bvh8._pack_lines):
+    rows [(m>>3)*8, +8), lane-roll its 16-field block to lanes [0, 16).
+    Returns the rolled (8, 128) value — sublane = child/triangle index,
+    lanes 0..15 = fields."""
     line = ref[pl.ds((m >> 3) * 8, 8), :]
     return pltpu.roll(line, 128 - ((m & 7) << 4), 1)
+
+
+def _entry_padded(ref, m):
+    """Load one-per-line entry m (scene/bvh8._pad_lines): rows [m*8, +8),
+    fields already at lanes [0, 16) — no roll on the critical path."""
+    return ref[pl.ds(m * 8, 8), :]
 
 
 def _traverse8_kernel(node_ref, tri_ref,
@@ -48,7 +56,14 @@ def _traverse8_kernel(node_ref, tri_ref,
                       tcap_ref,
                       t_ref, idx_ref,
                       stack_ref):
-    def walk(s, _):
+    def make_pop(s, base):
+        """Build the stack-pop step for the walk serving ray row `s`, with
+        its private stack at stack_ref[base:base+STACK]. Returning a
+        closure lets two walks' pops interleave inside one loop body: their
+        serial load->roll->extract->push chains are independent, so the
+        scalar/vector pipelines overlap them (the walk is latency-bound,
+        not throughput-bound — measured: batching boxes 8-per-op alone
+        reproduced the binary kernel's rate almost exactly)."""
         row = lambda ref: ref[pl.ds(s, 1), :]          # (1, 128)
         ox, oy, oz = row(ox_ref), row(oy_ref), row(oz_ref)
         dx, dy, dz = row(dx_ref), row(dy_ref), row(dz_ref)
@@ -56,11 +71,9 @@ def _traverse8_kernel(node_ref, tri_ref,
         sd = lambda d: jnp.where(jnp.abs(d) < tiny,
                                  jnp.where(d < 0, -tiny, tiny), d)
         ix, iy, iz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
-        t0 = row(tcap_ref)
-        i0 = jnp.full(t0.shape, -1, jnp.int32)
 
         def visit_node(m, sp, t_best, idx):
-            e = _entry(node_ref, m)
+            e = _entry_padded(node_ref, m)
             # slab test: 8 child boxes (sublanes) x 128 rays (lanes)
             tx0 = (e[:, 0:1] - ox) * ix
             tx1 = (e[:, 3:4] - ox) * ix
@@ -81,7 +94,9 @@ def _traverse8_kernel(node_ref, tri_ref,
             # children) — per-sublane scalar extraction is a Mosaic
             # legalization risk, a full weighted reduce is not
             anyv = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-            wt = jnp.exp2(jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0))
+            # (Mosaic: iota must be integer; int32->f32 casts are fine)
+            wt = jnp.exp2(jax.lax.broadcasted_iota(
+                jnp.int32, (8, 1), 0).astype(jnp.float32))
             bits = jnp.sum(anyv * wt).astype(jnp.int32)
             # push hit children; push values for all 8 slots live in
             # sublane 0, lanes 8..15 (scene/bvh8.py). The write at
@@ -89,7 +104,7 @@ def _traverse8_kernel(node_ref, tri_ref,
             # when the flag is 0) so there is no per-slot branch.
             for c in range(8):
                 push = (bits >> c) & 1
-                stack_ref[sp] = e[0, 8 + c].astype(jnp.int32)
+                stack_ref[base + sp] = e[0, 8 + c].astype(jnp.int32)
                 sp = sp + push
             return sp, t_best, idx
 
@@ -136,15 +151,35 @@ def _traverse8_kernel(node_ref, tri_ref,
                 lambda c: c, (t_best, idx))
             return sp, t_best, idx
 
-        def body(state):
+        def pop_one(state):
             sp, t_best, idx = state
             sp = sp - 1
-            m = stack_ref[sp]
+            m = stack_ref[base + sp]
             return jax.lax.cond(
                 m >= 0,
                 lambda a: visit_node(m, *a),
                 lambda a: visit_leaf(-m - 1, *a),
                 (sp, t_best, idx))
+
+        return pop_one
+
+    def walk(s, _):
+        """One 128-ray walk. (Negative result, measured on the v5e:
+        interleaving TWO walks' pops inside one loop body — independent
+        serial chains — ran ~4% SLOWER than this form; Mosaic lowers
+        lax.cond to real scalar branches, so the chains cannot overlap
+        and the extra carry state just costs registers.)"""
+        pop_one = make_pop(s, 0)
+        t0 = tcap_ref[pl.ds(s, 1), :]
+        i0 = jnp.full(t0.shape, -1, jnp.int32)
+
+        def body(state):
+            # unrolled pops amortize the while-loop's per-iteration cost;
+            # a finished walk parks at sp == 0 (guarded no-ops)
+            for _ in range(UNROLL):
+                state = jax.lax.cond(state[0] > 0, pop_one,
+                                     lambda st: st, state)
+            return state
 
         stack_ref[0] = 0
         _, t_best, idx = jax.lax.while_loop(

@@ -72,6 +72,20 @@ def _pack_lines(entries: np.ndarray) -> np.ndarray:
         -1, ENTRIES_PER_LINE * ROW_PAD)
 
 
+def _pad_lines(entries: np.ndarray) -> np.ndarray:
+    """(M, 8, 16) entries -> (M*8, 128) register lines, ONE entry per line
+    (fields at lanes [0, 16), rest zero). 8x the VMEM of _pack_lines but
+    the kernel's load needs no dynamic lane roll — node visits sit on the
+    serial critical path of the walk, and node tables are small (~4 KB x
+    #inner-nodes: ~19 MB even for a 500k-triangle mesh), so latency wins
+    over density. Triangle tables stay line-packed: they are 8-16x larger
+    and their roll overlaps the Moller-Trumbore vector work."""
+    m, w, f = entries.shape
+    out = np.zeros((m * w, ENTRIES_PER_LINE * ROW_PAD), entries.dtype)
+    out[:, :f] = entries.reshape(m * w, f)
+    return out
+
+
 def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
              max_leaf: int = 16) -> BVH8:
     """Collapse a flat binary skip-link BVH (arrays as in scene/bvh.FlatBVH,
@@ -158,5 +172,5 @@ def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
     tri[:, :, 6:9] = np.where(valid[..., None], np.asarray(e1)[safe], 0.0)
     tri[:, :, 9] = np.where(valid, gids, -1).astype(np.float32)
 
-    return BVH8(node_lines=_pack_lines(nodes), tri_lines=_pack_lines(tri),
+    return BVH8(node_lines=_pad_lines(nodes), tri_lines=_pack_lines(tri),
                 n_nodes=m8, n_groups=g)

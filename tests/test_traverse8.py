@@ -26,9 +26,14 @@ def _collapse_for(v, leaf_size=16):
 
 
 def _unpack_entry(lines, m):
-    """Host-side mirror of traverse8._entry for structural checks."""
+    """Host-side mirror of traverse8._entry (line-packed triangle groups)."""
     rows = lines[(m >> 3) * 8:(m >> 3) * 8 + 8]
     return np.roll(rows, -((m & 7) * 16), axis=1)[:, :16]
+
+
+def _unpack_node(lines, m):
+    """Host-side mirror of traverse8._entry_padded (one node per line)."""
+    return lines[m * 8:m * 8 + 8, :16]
 
 
 def test_collapse_covers_all_triangles_once():
@@ -41,7 +46,7 @@ def test_collapse_covers_all_triangles_once():
     while stack:
         m = stack.pop()
         visited_nodes += 1
-        e = _unpack_entry(b8.node_lines, m)
+        e = _unpack_node(b8.node_lines, m)
         for c in range(8):
             p = e[0, 8 + c]
             lo, hi = e[c, 0:3], e[c, 3:6]
