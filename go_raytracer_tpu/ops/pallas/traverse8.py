@@ -51,11 +51,14 @@ def _entry_padded(ref, m):
     return ref[pl.ds(m * 8, 8), :]
 
 
-def _traverse8_kernel(node_ref, tri_ref,
+def _traverse8_kernel(dense_nodes,
+                      node_ref, tri_ref,
                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tcap_ref,
                       t_ref, idx_ref,
                       stack_ref):
+    node_entry = _entry if dense_nodes else _entry_padded
+
     def make_pop(s, base):
         """Build the stack-pop step for the walk serving ray row `s`, with
         its private stack at stack_ref[base:base+STACK]. Returning a
@@ -73,7 +76,7 @@ def _traverse8_kernel(node_ref, tri_ref,
         ix, iy, iz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
 
         def visit_node(m, sp, t_best, idx):
-            e = _entry_padded(node_ref, m)
+            e = node_entry(node_ref, m)
             # slab test: 8 child boxes (sublanes) x 128 rays (lanes)
             tx0 = (e[:, 0:1] - ox) * ix
             tx1 = (e[:, 3:4] - ox) * ix
@@ -191,12 +194,14 @@ def _traverse8_kernel(node_ref, tri_ref,
     jax.lax.fori_loop(0, TILE_ROWS, walk, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bvh8_closest(nodes, tris, o, d, t_cap=None, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("dense_nodes", "interpret"))
+def bvh8_closest(nodes, tris, o, d, t_cap=None, *, dense_nodes=False,
+                 interpret=False):
     """Closest triangle hit for a ray bundle over the packed BVH8 tables
     (scene/bvh8.collapse): returns (t (N,), idx (N,)) with idx the
     leaf-order triangle id (== the scene triangle table index); idx is -1
-    (and t == t_cap) where no triangle beats the per-ray cap."""
+    (and t == t_cap) where no triangle beats the per-ray cap.
+    `dense_nodes` must match the table's bvh8.BVH8.dense_nodes."""
     n_orig = o.shape[0]
     tile = TILE_ROWS * LANE
     n = ((n_orig + tile - 1) // tile) * tile
@@ -223,7 +228,7 @@ def bvh8_closest(nodes, tris, o, d, t_cap=None, *, interpret=False):
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(table_bytes + 32 * 1024 * 1024))
     outs = pl.pallas_call(
-        _traverse8_kernel,
+        functools.partial(_traverse8_kernel, dense_nodes),
         grid=grid,
         in_specs=[table_spec(nodes), table_spec(tris)] + [row_spec] * 7,
         out_specs=[row_spec] * 2,

@@ -204,7 +204,8 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None):
         from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
 
         t_s, i_s = ptrav8.bvh8_closest(bvh.nodes8, bvh.tris8, o_s, d_s,
-                                       cap_s, interpret=interpret)
+                                       cap_s, dense_nodes=bvh.bvh8_dense,
+                                       interpret=interpret)
     else:
         nodes, tris = ptrav.pack_bvh(scene)
         t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,

@@ -381,7 +381,8 @@ class SceneBuilder:
                 order=i32(fb.order), n_nodes=fb.n_nodes,
                 leaf_size=fb.leaf_size,
                 nodes8=jnp.asarray(b8.node_lines),
-                tris8=jnp.asarray(b8.tri_lines))
+                tris8=jnp.asarray(b8.tri_lines),
+                bvh8_dense=b8.dense_nodes)
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

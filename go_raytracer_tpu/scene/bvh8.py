@@ -52,10 +52,11 @@ WIDE = 8
 
 @dataclasses.dataclass
 class BVH8:
-    node_lines: np.ndarray   # (ceil(M/8)*8, 128) f32
+    node_lines: np.ndarray   # (M*8, 128) padded / (ceil(M/8)*8, 128) dense
     tri_lines: np.ndarray    # (ceil(G/8)*8, 128) f32
     n_nodes: int             # M (node8 count)
     n_groups: int            # G (8-triangle groups)
+    dense_nodes: bool = False  # True: nodes line-packed (roll on load)
 
 
 def _pack_lines(entries: np.ndarray) -> np.ndarray:
@@ -86,8 +87,11 @@ def _pad_lines(entries: np.ndarray) -> np.ndarray:
     return out
 
 
+DENSE_NODE_BYTES = 24 * 1024 * 1024  # padded-node budget before packing
+
+
 def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
-             max_leaf: int = 16) -> BVH8:
+             max_leaf: int = 16, dense_nodes=None) -> BVH8:
     """Collapse a flat binary skip-link BVH (arrays as in scene/bvh.FlatBVH,
     numpy) into packed BVH8 tables. v0/e0/e1 are the (T, 3) triangle rows
     in the SAME leaf order the binary tree's first/count index into."""
@@ -172,5 +176,11 @@ def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
     tri[:, :, 6:9] = np.where(valid[..., None], np.asarray(e1)[safe], 0.0)
     tri[:, :, 9] = np.where(valid, gids, -1).astype(np.float32)
 
-    return BVH8(node_lines=_pad_lines(nodes), tri_lines=_pack_lines(tri),
-                n_nodes=m8, n_groups=g)
+    # one-per-line nodes trade 8x VMEM for a roll-free load on the walk's
+    # critical path; past the budget (Sponza-scale meshes) fall back to
+    # the dense packing so node + triangle tables still fit VMEM together
+    if dense_nodes is None:
+        dense_nodes = m8 * WIDE * 128 * 4 > DENSE_NODE_BYTES
+    pack_nodes = _pack_lines if dense_nodes else _pad_lines
+    return BVH8(node_lines=pack_nodes(nodes), tri_lines=_pack_lines(tri),
+                n_nodes=m8, n_groups=g, dense_nodes=dense_nodes)

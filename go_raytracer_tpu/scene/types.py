@@ -232,6 +232,7 @@ class TriBVH:
     # (scene/bvh8.py / ops/pallas/traverse8.py); None when absent
     nodes8: jnp.ndarray = None   # packed (R, 128) f32 register lines
     tris8: jnp.ndarray = None    # packed (R2, 128) f32 register lines
+    bvh8_dense: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -144,6 +144,34 @@ def test_bvh8_single_leaf_tree():
     np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
 
 
+def test_bvh8_dense_nodes_matches_padded():
+    """The Sponza-scale dense (line-packed, rolled) node layout must give
+    bit-identical traversal results to the default one-per-line layout."""
+    v = random_mesh(400, seed=31)
+    fb = bvh_mod.build(v, leaf_size=16)
+    perm = fb.order[:400]
+    vp = v[perm]
+    v0 = vp[:, 0]
+    args = (fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
+            v0, vp[:, 1] - v0, vp[:, 2] - v0)
+    b8p = bvh8_mod.collapse(*args, max_leaf=16, dense_nodes=False)
+    b8d = bvh8_mod.collapse(*args, max_leaf=16, dense_nodes=True)
+    assert not b8p.dense_nodes and b8d.dense_nodes
+    assert b8d.node_lines.shape[0] < b8p.node_lines.shape[0]
+    rs = np.random.default_rng(32)
+    n = 512
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    t_p, i_p = ptrav8.bvh8_closest(
+        jnp.asarray(b8p.node_lines), jnp.asarray(b8p.tri_lines), o, d,
+        interpret=True)
+    t_d, i_d = ptrav8.bvh8_closest(
+        jnp.asarray(b8d.node_lines), jnp.asarray(b8d.tri_lines), o, d,
+        dense_nodes=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_d))
+    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_d))
+
+
 def test_trace_routes_through_bvh8():
     """The full closest-hit path (pallas_bvh_closest) must agree with the
     dense scene when routed through the BVH8 kernel (the default)."""
