@@ -53,7 +53,8 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
     """One wavefront bounce. Returns (E, W, clamp_flag, new_o, new_d, alive')."""
     n = o.shape[0]
     n_med = scene.media.count
-    hit = trace_mod.trace(scene, o, d, time, u[:, N_FIXED_U:N_FIXED_U + n_med])
+    hit = trace_mod.trace(scene, o, d, time,
+                          u[:, N_FIXED_U:N_FIXED_U + n_med], alive=alive)
 
     mats = scene.materials
     kind = mats.kind[hit.mat_id]

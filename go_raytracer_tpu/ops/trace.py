@@ -165,7 +165,7 @@ def _part1by2(x):
     return x
 
 
-def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None):
+def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     """Closest triangle hit via the tile-coherent Pallas traversal
     (ops/pallas/traverse.py), with a coherence sort first: the kernel
     shares one walk per 1024-lane tile, so bounce rays — arbitrary order
@@ -190,6 +190,15 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None):
     iota = jnp.arange(n, dtype=jnp.int32)
     if t_cap is None:
         t_cap = jnp.full((n,), INF, dtype=o.dtype)
+    if alive is not None:
+        # dead lanes: zero cap kills the walk at the root (slab test needs
+        # max(near, T_MIN) < 0 — never true), and sorting them to the tail
+        # makes whole 128-ray walks trivially terminate. In a regeneration
+        # window at ~0.3-0.5 occupancy the traversal would otherwise spend
+        # most of its serial walk time on lanes whose hits are masked out
+        # anyway — measured 2x+ on mesh-scene renders.
+        t_cap = jnp.where(alive, t_cap, 0.0)
+        key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
     (_, perm, ox, oy, oz, dx, dy, dz, cap_s) = jax.lax.sort(
         (key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
          t_cap),
@@ -295,8 +304,13 @@ def media_candidates(scene: T.Scene, o, d, t_solid, u_med, t_min=T_MIN):
 
 
 def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
-          u_med: jnp.ndarray, t_min: float = T_MIN, t_max: float = INF) -> Hit:
-    """Closest hit for a ray bundle. u_med: (N, M) uniforms for media."""
+          u_med: jnp.ndarray, t_min: float = T_MIN, t_max: float = INF,
+          alive=None) -> Hit:
+    """Closest hit for a ray bundle. u_med: (N, M) uniforms for media.
+    `alive` (optional (N,) bool): lanes marked dead skip the serial BVH
+    walk (their returned hit is garbage — callers already mask every
+    consumer of dead-lane hits); dense GEMM classes ignore it (batched
+    throughput ops cannot skip rows and cost nothing to keep exact)."""
     n = o.shape[0]
     # cheap dense classes resolve first; their closest hit then CAPS the
     # BVH traversal (the shrinking rayT.Max of bvh.go:69-82 applied across
@@ -322,7 +336,8 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
     if scene.has_triangles:
         if scene.has_tri_bvh:
             if jax.default_backend() == "tpu":
-                t_t, i_t = pallas_bvh_closest(scene, o, d, t_cap=t_solid)
+                t_t, i_t = pallas_bvh_closest(scene, o, d, t_cap=t_solid,
+                                              alive=alive)
             else:
                 t_t, i_t = bvh_tri_closest(scene, o, d, t_min, t_max)
                 i_t = jnp.where(jnp.isfinite(t_t), i_t, -1)

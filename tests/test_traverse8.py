@@ -172,6 +172,25 @@ def test_bvh8_dense_nodes_matches_padded():
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_d))
 
 
+def test_alive_mask_skips_dead_lanes_exactly():
+    """pallas_bvh_closest with an alive mask: dead lanes come back with a
+    zero cap and idx -1 (their walk dies at the root), alive lanes are
+    bit-identical to the unmasked call."""
+    s_bvh, s_dense = _scenes_with_and_without_bvh(300, seed=41)
+    rs = np.random.default_rng(42)
+    n = 640
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    alive = jnp.asarray(rs.uniform(size=n) < 0.4)
+    t_all, i_all = trace_mod.pallas_bvh_closest(s_bvh, o, d)
+    t_m, i_m = trace_mod.pallas_bvh_closest(s_bvh, o, d, alive=alive)
+    al = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(i_m)[al], np.asarray(i_all)[al])
+    np.testing.assert_array_equal(np.asarray(t_m)[al], np.asarray(t_all)[al])
+    assert (np.asarray(i_m)[~al] == -1).all()
+    assert (np.asarray(t_m)[~al] == 0.0).all()
+
+
 def test_trace_routes_through_bvh8():
     """The full closest-hit path (pallas_bvh_closest) must agree with the
     dense scene when routed through the BVH8 kernel (the default)."""
