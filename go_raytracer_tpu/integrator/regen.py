@@ -364,7 +364,6 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     total_items = npix * n_strata
     d1 = cam.max_depth + 1
     refill = refill_len or 4 * d1
-    window = -(-(refill + d1) // cadence) * cadence
     n = n_lanes  # per device
     n_u = wavefront.N_FIXED_U + scene.media.count
     chunk = (total_items + n_dev - 1) // n_dev
@@ -372,6 +371,9 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    if scene.has_tri_bvh and not use_pallas:
+        cadence = 1  # see render_regen: cadence>1 mesh windows crash compile
+    window = -(-(refill + d1) // cadence) * cadence
     statics = dict(width=w, npix=npix, sqrt_spp=sqrt_spp, window=window,
                    refill=refill, cadence=cadence, n_u=n_u,
                    max_depth=cam.max_depth,
@@ -503,12 +505,21 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # the fused kernel tiles lanes as (32, 128) blocks
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
-    if scene.has_tri_bvh and not use_pallas and n > (1 << 16):
-        # mesh scenes run the traversal kernel once per bounce step inside
-        # the window scan; 128k-lane windows push a single device execution
-        # past the point where the tunneled worker gets killed (empirically
-        # 64k-lane windows complete, 128k crash the worker)
-        n = 1 << 16
+    if scene.has_tri_bvh and not use_pallas:
+        if n > (1 << 16):
+            # mesh scenes run the traversal kernel once per bounce step
+            # inside the window scan; 128k-lane windows push a single device
+            # execution past the point where the tunneled worker gets killed
+            # (empirically 64k-lane windows complete, 128k crash the worker)
+            n = 1 << 16
+        # cadence > 1 on this path buys little (it amortizes the FUSED
+        # kernel's XLA bookkeeping, which this path doesn't use) and its
+        # window graph at reference depth (d50 -> 256-step scan + 4-level
+        # unrolled reverse) reproducibly crashes the remote TPU compile
+        # helper; cadence 1 compiles, runs at 0.8 occupancy, and measured
+        # 1.08M rays/s on modelExample (vs 396k in round 2)
+        cadence = 1
+        window = refill + d1
 
     state = (
         jnp.zeros((n, 3), dtype),                  # o
