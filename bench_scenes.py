@@ -18,7 +18,8 @@ def main(argv=None):
     ap.add_argument("--scenes", default="1,2,3,4,5,6,7,8")
     ap.add_argument("--spp-scale", type=float, default=1.0)
     ap.add_argument("--lanes", type=int, default=1 << 17)
-    ap.add_argument("--cadence", type=int, default=4)
+    ap.add_argument("--cadence", type=int, default=0,
+                    help="0 = each scene's tuned regen_cadence hint")
     ap.add_argument("--out", default="BENCH_SCENES.json")
     args = ap.parse_args(argv)
 

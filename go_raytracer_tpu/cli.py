@@ -40,9 +40,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1 << 17, help="rays per launch")
     ap.add_argument("--lanes", type=int, default=1 << 17,
                     help="regen lane-pool size (multiple of 4096)")
-    ap.add_argument("--cadence", type=int, default=4,
+    ap.add_argument("--cadence", type=int, default=0,
                     help="regen start cadence: bounce steps per lane "
-                         "restart (= fused-kernel steps per call)")
+                         "restart (= fused-kernel steps per call); "
+                         "0 = per-scene tuned default")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")

@@ -332,9 +332,16 @@ def _auto_reorder(use_pallas, scene, reorder):
     return False
 
 
+def _resolve_cadence(cadence: int, cam) -> int:
+    """0 = auto: the camera's per-scene hint (registry-tuned), else 1."""
+    if cadence > 0:
+        return cadence
+    return cam.regen_cadence if getattr(cam, "regen_cadence", 0) > 0 else 1
+
+
 def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                          n_lanes: int = 1 << 17, refill_len: int = 0,
-                         cadence: int = 1, backend: str = "auto",
+                         cadence: int = 0, backend: str = "auto",
                          reorder="auto", dtype=jnp.float32):
     """Multi-device regeneration render over a 1-D `jax.sharding.Mesh`.
 
@@ -356,6 +363,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         if mesh.shape[a] != 1:
             raise ValueError("render_regen_sharded expects a 1-D mesh")
     n_dev = mesh.shape[axis]
+    cadence = _resolve_cadence(cadence, cam)
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
     npix = h * w
@@ -469,7 +477,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
 
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
-                 cadence: int = 1, backend: str = "auto", reorder="auto",
+                 cadence: int = 0, backend: str = "auto", reorder="auto",
                  dtype=jnp.float32,
                  checkpoint_path=None, checkpoint_every: int = 4,
                  scene_name: str = "", verbose: bool = False):
@@ -487,6 +495,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     """
     from go_raytracer_tpu.render import checkpoint as checkpoint_mod
     from go_raytracer_tpu.utils import progress
+    cadence = _resolve_cadence(cadence, cam)
     arrays = cam.derived(dtype=dtype)
     h, w = cam.image_height, cam.width
     npix = h * w

@@ -36,6 +36,11 @@ class Camera:
     focus_distance: float = 10.0
     background: Vec = (0.0, 0.0, 0.0)
     max_contribution: float = 1.5
+    # regeneration start cadence hint (0 = renderer default). Tuned per
+    # scene: closed scenes with long paths (Cornell) amortize best at 4;
+    # open scenes whose paths die in 1-2 bounces idle dead lanes between
+    # restarts and run ~1.5-1.8x faster at 2 (docs/PERFORMANCE.md).
+    regen_cadence: int = 0
 
     look_from: Vec = (0.0, 0.0, 0.0)
     look_at: Vec = (0.0, 0.0, -1.0)

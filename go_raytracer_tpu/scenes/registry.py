@@ -57,7 +57,8 @@ def book1(seed: int = 0):
 
     cam = Camera(aspect_ratio=16 / 9, width=400, samples_per_pixel=100,
                  max_depth=50, vertical_fov=20, defocus_angle=0.6,
-                 focus_distance=10.0, background=(0.70, 0.80, 1.00))
+                 focus_distance=10.0, background=(0.70, 0.80, 1.00),
+                 regen_cadence=2)
     cam.position((13, 2, 3), (0, 0, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -103,7 +104,8 @@ def book2(seed: int = 0):
 
     cam = Camera(aspect_ratio=1.0, width=800, samples_per_pixel=100,
                  max_depth=40, vertical_fov=40, defocus_angle=0.0,
-                 background=(0, 0, 0))
+                 background=(0, 0, 0),
+                 regen_cadence=2)
     cam.position((478, 278, -600), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -135,7 +137,8 @@ def book3():
     b.add_light(s)
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=10,
-                 max_depth=50, vertical_fov=40, background=(0, 0, 0))
+                 max_depth=50, vertical_fov=40, background=(0, 0, 0),
+                 regen_cadence=4)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -157,7 +160,8 @@ def quads_scene():
     b.add_light(light)
 
     cam = Camera(aspect_ratio=1.0, width=400, samples_per_pixel=100,
-                 max_depth=50, vertical_fov=80, background=(0.70, 0.80, 1.00))
+                 max_depth=50, vertical_fov=80, background=(0.70, 0.80, 1.00),
+                 regen_cadence=1)
     cam.position((0, 0, 9), (0, 0, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -177,7 +181,8 @@ def simple_light():
     b.add_light(q)
 
     cam = Camera(aspect_ratio=16 / 9, width=400, samples_per_pixel=100,
-                 max_depth=50, vertical_fov=20, background=(0, 0, 0))
+                 max_depth=50, vertical_fov=20, background=(0, 0, 0),
+                 regen_cadence=2)
     cam.position((26, 3, 6), (0, 2, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -194,7 +199,8 @@ def cornell_box():
           transform=Transform(rotate_y_deg=-18, translate=(130, 0, 65)))
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=100,
-                 max_depth=50, vertical_fov=40, background=(0, 0, 0))
+                 max_depth=50, vertical_fov=40, background=(0, 0, 0),
+                 regen_cadence=4)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -211,7 +217,8 @@ def cornell_smoke():
                           rotate_y_deg=-18, translate=(130, 0, 65))
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=10,
-                 max_depth=50, vertical_fov=40, background=(0, 0, 0))
+                 max_depth=50, vertical_fov=40, background=(0, 0, 0),
+                 regen_cadence=4)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -244,7 +251,8 @@ def model_example(obj_path: str = "dragon.obj"):
 
     cam = Camera(aspect_ratio=16 / 9, width=600, samples_per_pixel=250,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 max_contribution=2.0, defocus_angle=0.1)
+                 max_contribution=2.0, defocus_angle=0.1,
+                 regen_cadence=1)
     cam.position((10, 5, 10), (0, 0, 0), (0, 1, 0))
     return b.build(), cam
 
