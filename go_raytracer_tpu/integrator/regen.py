@@ -77,7 +77,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     if use_pallas:
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
 
-        tables = pallas_bounce.pack_scene(scene)
+        tables = pallas_bounce.pack_scene(scene, cull=reorder)
         statics = pallas_bounce.scene_statics(scene)
         statics["cull"] = reorder
         cam_row = pallas_bounce.pack_camera(arrays)
@@ -154,19 +154,10 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         item_id = jnp.where(take, item, item_id)
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
         Er, Eg, Eb, Wr, Wg, Wb, CF = rec_planes
-        if img_planes is not None:
-            # image-texture patch (texture.go:70-86), batched over the whole
-            # cadence block: W = texel(u, v) * ratio on flagged lanes
-            from go_raytracer_tpu.integrator import sampling
-            ratio, uu, vv, iid = img_planes
-            is_img = iid >= 0.0
-            idx = jnp.where(is_img, iid, 0.0).astype(jnp.int32)
-            texel = sampling.image_value(
-                scene, idx.reshape(-1), uu.reshape(-1), vv.reshape(-1))
-            sh = Wr.shape
-            Wr = jnp.where(is_img, texel[:, 0].reshape(sh) * ratio, Wr)
-            Wg = jnp.where(is_img, texel[:, 1].reshape(sh) * ratio, Wg)
-            Wb = jnp.where(is_img, texel[:, 2].reshape(sh) * ratio, Wb)
+        # image-texture patch (texture.go:70-86), batched over the whole
+        # cadence block of record planes
+        Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
+            scene, Wr, Wg, Wb, img_planes)
         rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take, ni_step) + \
             ((perm,) if reorder else ())
         seg = jnp.sum(segc)
@@ -321,7 +312,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         interpret=interpret, reorder=reorder)
 
 
-def _auto_reorder(use_pallas, scene, reorder):
+def _auto_reorder(use_pallas, reorder):
     """Coherence-reorder policy: explicit bool wins; "auto" currently
     resolves to OFF — measured on the v5e (scripts/ab_reorder.py), the
     per-step lane sorts cost about what the block cull saves (book1
@@ -388,7 +379,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    max_contribution=cam.max_contribution,
                    use_pallas=use_pallas,
                    interpret=jax.default_backend() != "tpu",
-                   reorder=_auto_reorder(use_pallas, scene, reorder))
+                   reorder=_auto_reorder(use_pallas, reorder))
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = (
@@ -568,7 +559,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
             interpret=jax.default_backend() != "tpu",
-            reorder=_auto_reorder(use_pallas, scene, reorder))
+            reorder=_auto_reorder(use_pallas, reorder))
         next_i, seg = (int(x) for x in np.asarray(cur))  # one readback/window
         next_item = jnp.int32(next_i)
         segments += seg

@@ -125,31 +125,28 @@ def scene_statics(scene: T.Scene) -> dict:
     )
 
 
-def _part1by2(x):
-    """Spread 10 bits of x two apart (standard Morton magic numbers)."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
 def _morton30(p, lo, ext):
     """30-bit Morton code of points (N, 3) inside the box [lo, lo+ext)."""
+    from go_raytracer_tpu.ops.trace import _part1by2
+
     q = jnp.clip((p - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.int32)
     return (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) | \
         _part1by2(q[:, 2])
 
 
-def pack_scene(scene: T.Scene):
+def pack_scene(scene: T.Scene, cull: bool = False):
     """Join primitives with their material/texture parameters into a dense
     (P, P_COLS) row table (kind-sorted sections, each padded to a P_BLOCK
     multiple with kind=-1 rows), lights into (L, L_COLS), media into
-    (M, M_COLS), plus per-P_BLOCK-row AABBs (NB, 16) for the kernel's
-    block cull. Each section is Morton-sorted by primitive center first so
-    8-row blocks are spatially tight (the cull is worthless on blocks with
-    scene-wide bounds). Pure jnp — traced once inside jit."""
+    (M, M_COLS), plus a block-AABB table for the kernel's cull.
+
+    With `cull` (the reorder experiment path only): each section is
+    Morton-sorted by primitive center so 8-row blocks are spatially tight,
+    and per-P_BLOCK-row AABBs are emitted. Without it (the default) the
+    table keeps scene declaration order — preserving the reference's
+    equal-t tie-break (first hittable in list order wins a strict `<`
+    comparison) — and the AABB table is a 1-row dummy that costs nothing
+    to ship. Pure jnp — traced once inside jit."""
     mats = scene.materials
     tex = scene.textures
 
@@ -223,14 +220,18 @@ def pack_scene(scene: T.Scene):
                 + mat_cols(sp.mat_id))
         rows = jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
                          jnp.full((sp.count, P_COLS), -1.0))
-        c1 = sp.center0 + sp.center_delta  # motion endpoint (objects.go:30-37)
-        lo = jnp.minimum(sp.center0, c1) - sp.radius[:, None]
-        hi = jnp.maximum(sp.center0, c1) + sp.radius[:, None]
-        # sorting moves inactive (kind -1) rows to the tail where they act
-        # like the pad rows the candidate tests already reject
-        rows, lo, hi = sort_section(rows, lo, hi, sp.active)
+        if cull:
+            c1 = sp.center0 + sp.center_delta  # motion endpoint (objects.go:30-37)
+            # abs: hollow-bubble spheres carry negative radii (their shell
+            # still spans |r|) — a signed half-extent would invert the box
+            r = jnp.abs(sp.radius)[:, None]
+            lo = jnp.minimum(sp.center0, c1) - r
+            hi = jnp.maximum(sp.center0, c1) + r
+            # sorting moves inactive (kind -1) rows to the tail where they
+            # act like the pad rows the candidate tests already reject
+            rows, lo, hi = sort_section(rows, lo, hi, sp.active)
+            blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
         sections.append(pad_section(rows))
-        blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
     if scene.has_quads:
         qd = scene.quads
         qcvw = jnp.sum(qd.q * qd.cvw, axis=-1)
@@ -244,17 +245,21 @@ def pack_scene(scene: T.Scene):
                 + mat_cols(qd.mat_id))
         rows = jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
                          jnp.full((qd.count, P_COLS), -1.0))
-        corners = jnp.stack([qd.q, qd.q + qd.u, qd.q + qd.v,
-                             qd.q + qd.u + qd.v])
-        eps = 1e-4  # padToMinimum-style epsilon for axis-flat quads
-        lo = corners.min(axis=0) - eps
-        hi = corners.max(axis=0) + eps
-        rows, lo, hi = sort_section(rows, lo, hi, qd.active)
+        if cull:
+            corners = jnp.stack([qd.q, qd.q + qd.u, qd.q + qd.v,
+                                 qd.q + qd.u + qd.v])
+            eps = 1e-4  # padToMinimum-style epsilon for axis-flat quads
+            lo = corners.min(axis=0) - eps
+            hi = corners.max(axis=0) + eps
+            rows, lo, hi = sort_section(rows, lo, hi, qd.active)
+            blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
         sections.append(pad_section(rows))
-        blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
     prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
-    blk = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
-    blk = jnp.pad(blk, ((0, 0), (0, 10)))  # (NB, 16): one packed-line field
+    if blocks:
+        blk = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
+        blk = jnp.pad(blk, ((0, 0), (0, 10)))  # (NB, 16): packed-line field
+    else:
+        blk = jnp.zeros((1, 16), jnp.float32)  # cull off: nothing to ship
 
     lt = scene.lights
     lrows = []
@@ -964,18 +969,32 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
     return E, W, unp(cf) > 0, new_o, new_d, unp(alive2) > 0, img
 
 
-def patch_image_weight(scene: T.Scene, W, img):
-    """Apply the XLA-side image-texture patch: W = texel(u, v) * ratio on
-    lanes the kernel flagged (texture.go:70-86 via sampling.image_value)."""
+def patch_image_weight_planes(scene: T.Scene, Wr, Wg, Wb, img):
+    """Channel-plane form of the XLA-side image-texture patch:
+    W = texel(u, v) * ratio on lanes the kernel flagged (texture.go:70-86
+    via sampling.image_value). W*/img planes share any common shape —
+    regen passes whole (cadence, N) record blocks."""
     if img is None:
-        return W
+        return Wr, Wg, Wb
     from go_raytracer_tpu.integrator import sampling
 
     ratio, uu, vv, img_id = img
     is_img = img_id >= 0.0
     idx = jnp.where(is_img, img_id, 0.0).astype(jnp.int32)
-    texel = sampling.image_value(scene, idx, uu, vv)
-    return jnp.where(is_img[:, None], texel * ratio[:, None], W)
+    texel = sampling.image_value(scene, idx.reshape(-1), uu.reshape(-1),
+                                 vv.reshape(-1))
+    sh = Wr.shape
+    return tuple(jnp.where(is_img, texel[:, c].reshape(sh) * ratio, W)
+                 for c, W in enumerate((Wr, Wg, Wb)))
+
+
+def patch_image_weight(scene: T.Scene, W, img):
+    """(N, 3) wrapper over patch_image_weight_planes."""
+    if img is None:
+        return W
+    return jnp.stack(
+        patch_image_weight_planes(scene, W[:, 0], W[:, 1], W[:, 2], img),
+        axis=-1)
 
 
 def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
