@@ -86,28 +86,25 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             blo = jnp.min(blk[:, 0:3], axis=0)
             bext = jnp.maximum(jnp.max(blk[:, 3:6], axis=0) - blo, 1e-6)
 
-    def coherence_sort(o, d, t, alive, item_id, depth):
+    def coherence_sort(ox, oy, oz, dx, dy, dz, t, alive, item_id, depth):
         """Sort the lane pool by (octant, 27-bit origin Morton); dead lanes
         (key MAX) form a contiguous tail where the refill's consecutive —
         hence spatially coherent — camera rays will land. iota as a second
         sort key gives a total order: deterministic without is_stable."""
         from go_raytracer_tpu.ops.pallas import bounce as pb
-        morton = pb._morton30(o, blo, bext)
-        octant = ((d[:, 0] > 0).astype(jnp.int32) << 2) \
-            | ((d[:, 1] > 0).astype(jnp.int32) << 1) \
-            | (d[:, 2] > 0).astype(jnp.int32)
+        morton = pb._morton30(jnp.stack([ox, oy, oz], axis=-1), blo, bext)
+        octant = ((dx > 0).astype(jnp.int32) << 2) \
+            | ((dy > 0).astype(jnp.int32) << 1) \
+            | (dz > 0).astype(jnp.int32)
         key = (octant << 27) | (morton >> 3)
         key = jnp.where(alive, key, jnp.int32(0x7FFFFFFF))
         iota = jnp.arange(n, dtype=jnp.int32)
         (_, _, perm, ox, oy, oz, dx, dy, dz, t, alive_i, item_id,
          depth) = jax.lax.sort(
-            (key, iota, iota, o[:, 0], o[:, 1], o[:, 2],
-             d[:, 0], d[:, 1], d[:, 2], t, alive.astype(jnp.int32),
-             item_id, depth),
+            (key, iota, iota, ox, oy, oz, dx, dy, dz, t,
+             alive.astype(jnp.int32), item_id, depth),
             dimension=0, num_keys=2, is_stable=False)
-        o = jnp.stack([ox, oy, oz], axis=-1)
-        d = jnp.stack([dx, dy, dz], axis=-1)
-        return o, d, t, alive_i > 0, item_id, depth, perm
+        return ox, oy, oz, dx, dy, dz, t, alive_i > 0, item_id, depth, perm
 
     def refill_assign(next_item, alive, do_refill):
         """Queue items -> dead lanes (vectorized rank via cumsum); takes
@@ -136,18 +133,20 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         kernel itself."""
         state, next_item = carry
         seed_i32, do_refill = inputs
-        o, d, t, alive, item_id, depth = state
+        ox, oy, oz, dx, dy, dz, t, alive, item_id, depth = state
         if reorder:
-            o, d, t, alive, item_id, depth, perm = coherence_sort(
-                o, d, t, alive, item_id, depth)
+            (ox, oy, oz, dx, dy, dz, t, alive, item_id, depth,
+             perm) = coherence_sort(ox, oy, oz, dx, dy, dz, t, alive,
+                                    item_id, depth)
         ni_step = next_item
         take, item, pid, s_i, s_j = refill_assign(next_item, alive, do_refill)
         pi = (pid % width).astype(dtype)
         pj = (pid // width).astype(dtype)
-        (rec_planes, img_planes, segc, no, nd, ntm, alive2, depth2) = \
+        (rec_planes, img_planes, segc, nox, noy, noz, ndx, ndy, ndz, ntm,
+         alive2, depth2) = \
             pallas_bounce.bounce_fused(
                 tables, statics, cam_row, scene.background, seed_i32,
-                o, d, t, alive.astype(jnp.int32), depth,
+                ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32), depth,
                 take.astype(jnp.int32), pi, pj, s_i, s_j,
                 has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
                 n_inner=cadence, interpret=interpret)
@@ -161,12 +160,18 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take, ni_step) + \
             ((perm,) if reorder else ())
         seg = jnp.sum(segc)
-        return ((no, nd, ntm, alive2 > 0, item_id, depth2), next_item), (rec, seg)
+        state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0, item_id,
+                  depth2)
+        return (state2, next_item), (rec, seg)
 
     def fwd_step(carry, inputs):
         state, next_item = carry
         step_key, do_refill = inputs
-        o, d, t, alive, item_id, depth = state
+        ox, oy, oz, dx, dy, dz, t, alive, item_id, depth = state
+        # the XLA fallback bounce works on (N, 3) vectors; the stack/split
+        # at this boundary is the layout cost the pallas path avoids
+        o = jnp.stack([ox, oy, oz], axis=-1)
+        d = jnp.stack([dx, dy, dz], axis=-1)
         k_u, k_rays = jax.random.split(step_key)
 
         ni_step = next_item  # first item id assigned this step
@@ -195,7 +200,9 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         na = na & (depth < max_depth)
         depth = jnp.where(alive, depth + 1, depth)
         rec = (E, W, cf & alive, take, ni_step)
-        return ((no, nd, t, na, item_id, depth), next_item), (rec, seg)
+        state2 = (no[:, 0], no[:, 1], no[:, 2], nd[:, 0], nd[:, 1],
+                  nd[:, 2], t, na, item_id, depth)
+        return (state2, next_item), (rec, seg)
 
     outer = window // cadence
     refill_outer = -(-refill // cadence)
@@ -323,6 +330,17 @@ def _auto_reorder(use_pallas, reorder):
     return False
 
 
+def _init_state(n: int, dtype):
+    """Fresh lane-pool state: flat (N,) component planes (ox oy oz dx dy
+    dz, time, alive, item id, bounces done) — (N, 3) vectors never enter
+    the scan carry, so the fused kernel's plane conversions stay free
+    reshapes instead of strided slice/stack ops per iteration."""
+    z = lambda: jnp.zeros((n,), dtype)  # distinct buffers: state is donated
+    return (z(), z(), z(), z(), z(), jnp.ones((n,), dtype),  # d = +z unit
+            z(), jnp.zeros((n,), bool),
+            jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+
+
 def _resolve_cadence(cadence: int, cam) -> int:
     """0 = auto: the camera's per-scene hint (registry-tuned), else 1."""
     if cadence > 0:
@@ -382,14 +400,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    reorder=_auto_reorder(use_pallas, reorder))
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
-    state = (
-        dev(jnp.zeros((n, 3), dtype)),
-        dev(jnp.ones((n, 3), dtype)),
-        dev(jnp.zeros((n,), dtype)),
-        dev(jnp.zeros((n,), bool)),
-        dev(jnp.zeros((n,), jnp.int32)),
-        dev(jnp.zeros((n,), jnp.int32)),
-    )
+    state = tuple(dev(x) for x in _init_state(n, dtype))
     acc = jnp.zeros((n_dev, chunk + n, 3), dtype)
     next_items = jnp.arange(n_dev, dtype=jnp.int32) * chunk
 
@@ -521,14 +532,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         cadence = 1
         window = refill + d1
 
-    state = (
-        jnp.zeros((n, 3), dtype),                  # o
-        jnp.ones((n, 3), dtype),                   # d
-        jnp.zeros((n,), dtype),                    # time
-        jnp.zeros((n,), bool),                     # alive
-        jnp.zeros((n,), jnp.int32),                # item id
-        jnp.zeros((n,), jnp.int32),                # bounces done this path
-    )
+    state = _init_state(n, dtype)
     # `n_lanes` tail rows absorb the final window's row-padding writes
     acc = jnp.zeros((total_items + n, 3), dtype)
     next_item = jnp.int32(0)

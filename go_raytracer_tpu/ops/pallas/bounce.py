@@ -1173,17 +1173,21 @@ def pack_camera(arrays) -> jnp.ndarray:
                                              "max_depth", "n_inner",
                                              "interpret"))
 def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
-                      o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                      ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                      take_i32, pi, pj, si, sj,
                       st_key, has_defocus, max_depth, n_inner, interpret):
     st = dict(st_key)
-    n = o.shape[0]
+    n = ox.shape[0]
     assert n % (TILE_ROWS * LANE) == 0, n
     rows = n // LANE
     shape = (rows, LANE)
+    # state arrives as component planes, so every conversion here is a
+    # FREE reshape — carrying (N, 3) state across the scan boundary cost
+    # ~14 strided slice/stack ops per iteration in the compiled while body
+    # (the (4,128)-tiled layout makes [:, c] slices read-amplified 3x)
     plane = lambda x: x.reshape(rows, LANE)
-    state_planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-                    plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-                    plane(time), plane(alive_i32), plane(depth)]
+    state_planes = [plane(x) for x in
+                    (ox, oy, oz, dx, dy, dz, time, alive_i32, depth)]
     refill_planes = [plane(take_i32), plane(pi), plane(pj),
                      plane(si), plane(sj)]
 
@@ -1232,29 +1236,29 @@ def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
     img_planes = tuple(x.reshape(n_inner, n) for x in outs[7:n_rec]) \
         if n_img else None
     seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
-    (nox, noy, noz, ndx, ndy, ndz, ntm, alive2, depth2) = outs[n_rec + 1:]
-    new_o = jnp.stack([unp(nox), unp(noy), unp(noz)], axis=-1)
-    new_d = jnp.stack([unp(ndx), unp(ndy), unp(ndz)], axis=-1)
-    return (rec_planes, img_planes, seg_counts, new_o, new_d, unp(ntm),
-            unp(alive2), unp(depth2))
+    state_out = tuple(unp(x) for x in outs[n_rec + 1:])
+    return (rec_planes, img_planes, seg_counts) + state_out
 
 
 def bounce_fused(scene_tables, statics, cam_row, bg, seed,
-                 o, d, time, alive_i32, depth, take_i32, pi, pj, si, sj,
+                 ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                 take_i32, pi, pj, si, sj,
                  *, has_defocus, max_depth, n_inner=1, interpret=False):
     """`n_inner` fused regeneration steps in one kernel call (refill only
-    at the first). All lane arrays are (N,) / (N,3) with N a multiple of
-    TILE_ROWS*128 (the regen pool is sized accordingly).
+    at the first). All lane arrays are flat (N,) component planes with N a
+    multiple of TILE_ROWS*128 (the regen pool is sized accordingly) —
+    (N, 3) vectors never cross this boundary, so the kernel's
+    (rows, 128)-plane conversions are free reshapes.
 
-    Returns (rec_planes, img_planes, seg_counts, new_o, new_d, new_time,
-    alive', depth'): rec_planes = (Er, Eg, Eb, Wr, Wg, Wb, cf_i32), each
-    (n_inner, N) in native lane order; img_planes = None or
+    Returns (rec_planes, img_planes, seg_counts, ox', oy', oz', dx', dy',
+    dz', time', alive', depth'): rec_planes = (Er, Eg, Eb, Wr, Wg, Wb,
+    cf_i32), each (n_inner, N) in native lane order; img_planes = None or
     (ratio, u, v, img_id) with the same shape; seg_counts = (n_inner,)
     traced-segment counts."""
     prims, lights, med, blk = scene_tables
     return _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
-                             o, d, time, alive_i32, depth, take_i32,
-                             pi, pj, si, sj,
+                             ox, oy, oz, dx, dy, dz, time, alive_i32,
+                             depth, take_i32, pi, pj, si, sj,
                              st_key=_statics_key(statics),
                              has_defocus=has_defocus, max_depth=max_depth,
                              n_inner=n_inner, interpret=interpret)
