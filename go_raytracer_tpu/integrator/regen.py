@@ -41,6 +41,7 @@ benchmark) reuse the compiled executable.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from functools import partial
 
@@ -283,10 +284,23 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     # only (static slice — drain-tail rows carry no harvests)
     starts = STs[:refill_outer]
     NIs_s = NIs[:refill_outer]
-    keys = jnp.logical_not(starts).astype(jnp.int8)  # started rows first
-    _, hr, hg, hb = jax.lax.sort(
-        (keys, Hr[:refill_outer], Hg[:refill_outer], Hb[:refill_outer]),
-        dimension=-1, num_keys=1, is_stable=True)
+    if os.environ.get("GRT_COMPACT") == "1":
+        # Pallas streaming compactor (ops/pallas/compact.py): correct and
+        # tail-garbage-safe, but MEASURED 48ms vs the sort's 14.3ms on the
+        # v5e (115.7M vs 163-174M headline) — 13k sequential 128-lane
+        # chunk iterations of dynamic rolls + a branch each; kept
+        # env-gated for future (8,128)-chunk experiments
+        from go_raytracer_tpu.ops.pallas import compact as pcompact
+
+        hr, hg, hb = pcompact.compact_rows(
+            starts, Hr[:refill_outer], Hg[:refill_outer],
+            Hb[:refill_outer], interpret=interpret)
+    else:
+        keys = jnp.logical_not(starts).astype(jnp.int8)  # started first
+        _, hr, hg, hb = jax.lax.sort(
+            (keys, Hr[:refill_outer], Hg[:refill_outer],
+             Hb[:refill_outer]),
+            dimension=-1, num_keys=1, is_stable=True)
     rows = jnp.stack([hr, hg, hb], axis=-1)  # (n_start_rows, N, 3)
 
     def write_row(acc_c, xs):
