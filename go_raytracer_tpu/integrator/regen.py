@@ -438,16 +438,17 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         # sharded array — required for multi-host operation
         seg_all = jax.lax.psum(seg, axis)
         done_all = jax.lax.psum((next2 >= end).astype(jnp.int32), axis)
+        rem_all = jax.lax.psum(jnp.maximum(end - next2, 0), axis)
         # per-shard segment counts for the work-balance metric, gathered to
         # a replicated vector (tiny, once per window)
         seg_vec = jax.lax.all_gather(seg, axis)
         return (acc2[None], tuple(x[None] for x in state2), next2[None],
-                seg_all, done_all, seg_vec)
+                seg_all, done_all, rem_all, seg_vec)
 
     sharded_window = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, spec, spec, spec, rep),
-        out_specs=(spec, spec, spec, rep, rep, rep),
+        out_specs=(spec, spec, spec, rep, rep, rep, rep),
         check_rep=False))
 
     segments = 0
@@ -455,17 +456,52 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     n_windows = 0
     window_times = []
     t0 = _time.perf_counter()
-    while True:
-        wt0 = _time.perf_counter()
-        wkey = jax.random.fold_in(key, n_windows)
-        acc, state, next_items, seg_all, done_all, seg_vec = sharded_window(
-            scene, arrays, acc, state, next_items, wkey)
+    # Depth-1 window pipelining (see render_regen): the queue cursors chain
+    # device-side through `next_items`, so window k+1 can be dispatched
+    # before window k's replicated scalars are read back, hiding the
+    # per-window host dispatch/readback round trip. A remaining-items
+    # estimate keeps the tail honest (sync instead of dispatching a
+    # speculative no-op window when the in-flight one likely drains the
+    # queue); the first window is always synced to learn the estimate.
+    pending = None
+    rem_i = None            # remaining items after the last SYNCED window
+    s_est = None            # items started per window, from the last sync
+    done = False
+
+    def sync(cur):
+        nonlocal segments, seg_per_shard, rem_i, s_est, done
+        seg_all, done_all, rem_all, seg_vec = cur
         segments += int(seg_all)
         seg_per_shard += np.asarray(seg_vec, dtype=np.int64)
+        rem_new = int(rem_all)
+        if rem_i is not None and rem_i > rem_new:
+            s_est = rem_i - rem_new
+        rem_i = rem_new
+        done = int(done_all) == n_dev
+
+    while not done:
+        if pending is not None and s_est is not None \
+                and rem_i <= 1.25 * s_est:
+            sync(pending)
+            pending = None
+            continue
+        wt0 = _time.perf_counter()
+        wkey = jax.random.fold_in(key, n_windows)
+        (acc, state, next_items, seg_all, done_all, rem_all,
+         seg_vec) = sharded_window(scene, arrays, acc, state, next_items,
+                                   wkey)
+        cur = (seg_all, done_all, rem_all, seg_vec)
         n_windows += 1
+        if pending is not None:
+            sync(pending)
+            pending = cur
+        elif s_est is None:
+            sync(cur)
+        else:
+            pending = cur
         window_times.append(_time.perf_counter() - wt0)
-        if int(done_all) == n_dev:
-            break
+    if pending is not None:
+        sync(pending)
     elapsed = _time.perf_counter() - t0
 
     if jax.process_count() > 1:
@@ -567,28 +603,70 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     next_i = int(next_item)
     window_times = []
     t0 = _time.perf_counter()
+
+    # Window pipelining: the device executes a window in ~2/3 of its wall
+    # time — the rest is the host->tunnel dispatch + cursor-readback round
+    # trip (~20ms/window measured on the v5e tunnel). Chaining the queue
+    # cursor DEVICE-side (next window consumes the previous window's
+    # packed cursor array, no host value in between) lets window k+1 be
+    # dispatched before window k's readback, hiding that tax. A
+    # starts-per-window estimate keeps the tail honest: when the in-flight
+    # window likely drains the queue, sync instead of dispatching a
+    # speculative no-op window (the first window is always synced to learn
+    # the estimate, so single-window renders behave exactly as before).
+    pending = None          # cursor array of the in-flight window
+    s_est = None            # starts per window, from the last sync
+    next_dev = next_item
+
+    def sync(cur):
+        nonlocal next_i, segments, s_est
+        prev = next_i
+        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback
+        segments += seg
+        if next_i > prev:
+            s_est = next_i - prev
+        bar.tick(next_i - bar.done)
+
     while next_i < total_items:
+        if pending is not None and s_est is not None \
+                and total_items - next_i <= 1.25 * s_est:
+            sync(pending)        # in-flight window likely finishes the queue
+            pending = None
+            continue
         wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
         acc, state, cur = _run_window(
-            scene, arrays, acc, state, next_item, wkey,
+            scene, arrays, acc, state, next_dev, wkey,
             width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
             window=window, refill=refill, cadence=cadence, n_u=n_u,
             max_depth=cam.max_depth,
             max_contribution=cam.max_contribution, use_pallas=use_pallas,
             interpret=jax.default_backend() != "tpu",
             reorder=_auto_reorder(use_pallas, reorder))
-        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback/window
-        next_item = jnp.int32(next_i)
-        segments += seg
+        next_dev = cur[0]
         n_windows += 1
+        if pending is not None:
+            sync(pending)        # overlaps with the window just dispatched
+            pending = cur
+        elif s_est is None:
+            sync(cur)            # first window: learn starts-per-window
+        else:
+            pending = cur
         window_times.append(_time.perf_counter() - wt0)
-        bar.tick(next_i - bar.done)
-        if checkpoint_path and (n_windows % checkpoint_every == 0
-                                or next_i >= total_items):
+        if checkpoint_path and n_windows % checkpoint_every == 0:
+            if pending is not None:
+                sync(pending)    # acc must match the saved cursor
+                pending = None
             meta["windows"] = n_windows
             checkpoint_mod.save(checkpoint_path, np.asarray(acc),
                                 next_i, meta)
+    if pending is not None:
+        sync(pending)            # final (possibly no-op) in-flight window
+    if checkpoint_path and window_times:
+        # final save after the pipeline drains, so a finished render always
+        # leaves a completed checkpoint (resume = zero new windows)
+        meta["windows"] = n_windows
+        checkpoint_mod.save(checkpoint_path, np.asarray(acc), next_i, meta)
     acc.block_until_ready()
     bar.close()
     elapsed = _time.perf_counter() - t0

@@ -33,9 +33,7 @@ def main(argv=None):
     window = -(-(refill + d1) // args.cadence) * args.cadence
     npix = cam.width * cam.image_height
     total = npix * cam.spp_effective
-    state = (jnp.zeros((n, 3)), jnp.ones((n, 3)), jnp.zeros((n,)),
-             jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
-             jnp.zeros((n,), jnp.int32))
+    state = regen._init_state(n, jnp.float32)
     acc = jnp.zeros((total + n, 3))
     lowered = regen._run_window.lower(
         scene, arrays, acc, state, jnp.int32(0), jax.random.key(0),
