@@ -25,7 +25,10 @@ def main():
     from go_raytracer_tpu.scenes import registry
 
     scene, cam = registry.cornell_box()
-    cam.samples_per_pixel = 16  # 600x600 @ 16 spp, depth 50
+    # full reference config (main.go:309-312): 600x600 @ 100 spp, depth 50.
+    # Multi-window, so the pipelined host loop hides the per-window
+    # dispatch tax (GRT_SPP=16 reproduces the old single-window bench).
+    cam.samples_per_pixel = int(os.environ.get("GRT_SPP", "100"))
     key = jax.random.key(0)
     # cadence 4 = best measured on the v5e (multi-step fused kernel: 4
     # bounces per pallas call, refill rows/4 in the harvest sort)
