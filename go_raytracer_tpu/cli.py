@@ -44,6 +44,11 @@ def main(argv=None):
                     help="regen start cadence: bounce steps per lane "
                          "restart (= fused-kernel steps per call); "
                          "0 = per-scene tuned default")
+    ap.add_argument("--schedule", choices=["auto", "queue", "positional"],
+                    default="auto",
+                    help="regen work assignment: queue = dynamic item "
+                         "queue (sorted harvest), positional = static "
+                         "per-lane blocks (sort-free harvest)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")
@@ -99,6 +104,7 @@ def main(argv=None):
         linear, stats = regen_mod.render_regen(
             scene, cam, jax.random.key(args.seed), n_lanes=args.lanes,
             cadence=args.cadence, backend=args.backend,
+            schedule=args.schedule,
             checkpoint_path=args.checkpoint or None,
             scene_name=name, verbose=not args.quiet)
         film.write_image(args.out, np.asarray(film.tonemap(jnp.asarray(linear))))

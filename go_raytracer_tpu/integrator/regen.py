@@ -333,6 +333,221 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         interpret=interpret, reorder=reorder)
 
 
+def _pos_tables(npix: int, n_strata: int, n: int):
+    """Static positional schedule: lane L owns the contiguous block
+    [lane_base[L], lane_base[L]+quota[L]) of the PIXEL-MAJOR item index
+    (item = pixel*n_strata + stratum), blocks as even as possible
+    (quota differs by at most 1). Because a lane's items are consecutive,
+    they span at most G = max(last_pix-first_pix)+1 pixels — G is tiny
+    (2-5 for every reference config), which is what lets the harvest
+    accumulate into per-lane pixel slots instead of compacting 128k-lane
+    rows with a sort (docs/PERFORMANCE.md)."""
+    total = npix * n_strata
+    q, r = divmod(total, n)
+    lanes = np.arange(n, dtype=np.int64)
+    quota = np.full(n, q, np.int64)
+    quota[:r] += 1
+    lane_base = lanes * q + np.minimum(lanes, r)
+    first_pix = lane_base // n_strata
+    last_pix = (lane_base + np.maximum(quota, 1) - 1) // n_strata
+    G = int((last_pix - first_pix).max()) + 1
+    return (quota.astype(np.int32), lane_base.astype(np.int32),
+            first_pix.astype(np.int32), G)
+
+
+def _window_impl_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
+                     Br, Bg, Bb, state, quota, lane_base, first_pix,
+                     base_key, *,
+                     width, npix, sqrt_spp, n_strata, G, window, refill,
+                     cadence, n_u, max_depth, max_contribution, use_pallas,
+                     interpret):
+    """One generation window under the POSITIONAL schedule.
+
+    Versus the item-queue `_window_impl`: a lane's next item is always
+    `lane_base + k` (k = its start count, state plane 8), so the refill
+    needs no rank cumsum and the queue cursor disappears; the reverse
+    scan carries a per-lane start countdown and emits each harvest's
+    pixel-slot index g = pixel(item) - first_pix in [0, G), and the
+    harvests land in the (G, N) accumulators with G masked row-reduces —
+    no 128k-lane compaction sort, no item-indexed accumulator, no
+    row-write scan. The film is one host bincount of B at render end.
+    The price is static load balance: lanes with unluckily long paths
+    finish their quota late, so the drain tail is a few sparse windows
+    instead of one (measured ~5-10% at 100spp; the sort it replaces was
+    ~30% of window device time)."""
+    n = state[0].shape[0]
+    dtype = state[0].dtype
+
+    if use_pallas:
+        from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+
+        tables = pallas_bounce.pack_scene(scene, cull=False)
+        statics = pallas_bounce.scene_statics(scene)
+        statics["cull"] = False
+        cam_row = pallas_bounce.pack_camera(arrays)
+
+    def refill_assign(k, alive, do_refill):
+        take = do_refill & (~alive) & (k < quota)
+        item = lane_base + k              # this start's global item id
+        pid = item // n_strata
+        stratum = item % n_strata
+        s_i = (stratum // sqrt_spp).astype(dtype)
+        s_j = (stratum % sqrt_spp).astype(dtype)
+        return take, pid, s_i, s_j
+
+    def fwd_step_fused(state, inputs):
+        seed_i32, do_refill = inputs
+        ox, oy, oz, dx, dy, dz, t, alive, k, depth = state
+        take, pid, s_i, s_j = refill_assign(k, alive, do_refill)
+        pi = (pid % width).astype(dtype)
+        pj = (pid // width).astype(dtype)
+        from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+        (rec_planes, img_planes, segc, nox, noy, noz, ndx, ndy, ndz, ntm,
+         alive2, depth2) = \
+            pallas_bounce.bounce_fused(
+                tables, statics, cam_row, scene.background, seed_i32,
+                ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32), depth,
+                take.astype(jnp.int32), pi, pj, s_i, s_j,
+                has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
+                n_inner=cadence, interpret=interpret)
+        k2 = k + take.astype(jnp.int32)
+        Er, Eg, Eb, Wr, Wg, Wb, CF = rec_planes
+        Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
+            scene, Wr, Wg, Wb, img_planes)
+        rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take)
+        state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0, k2, depth2)
+        return state2, (rec, jnp.sum(segc))
+
+    def fwd_step(state, inputs):
+        step_key, do_refill = inputs
+        ox, oy, oz, dx, dy, dz, t, alive, k, depth = state
+        o = jnp.stack([ox, oy, oz], axis=-1)
+        d = jnp.stack([dx, dy, dz], axis=-1)
+        k_u, k_rays = jax.random.split(step_key)
+        take, pid, s_i, s_j = refill_assign(k, alive, do_refill)
+        o_n, d_n, t_n = camera_mod.generate_rays(
+            arrays, width, pid, s_i, s_j, k_rays, dtype=dtype)
+        o = jnp.where(take[:, None], o_n, o)
+        d = jnp.where(take[:, None], d_n, d)
+        t = jnp.where(take, t_n, t)
+        k2 = k + take.astype(jnp.int32)
+        depth = jnp.where(take, 0, depth)
+        alive = alive | take
+        u = jax.random.uniform(k_u, (n, n_u), dtype=dtype)
+        E, W, cf, no, nd, na = wavefront._bounce(scene, o, d, t, alive, u)
+        dead2 = ~alive
+        E = jnp.where(dead2[:, None], 0.0, E)
+        W = jnp.where(dead2[:, None], 0.0, W)
+        seg = jnp.sum(alive.astype(jnp.int32))
+        na = na & (depth < max_depth)
+        depth = jnp.where(alive, depth + 1, depth)
+        rec = (E, W, cf & alive, take)
+        state2 = (no[:, 0], no[:, 1], no[:, 2], nd[:, 0], nd[:, 1],
+                  nd[:, 2], t, na, k2, depth)
+        return state2, (rec, seg)
+
+    outer = window // cadence
+    refill_outer = -(-refill // cadence)
+    if use_pallas:
+        osteps = jnp.arange(outer) * cadence
+        do_refills = osteps < refill
+        seeds = jax.random.randint(base_key, (outer,),
+                                   jnp.iinfo(jnp.int32).min,
+                                   jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        state, (rec_ys, segs) = jax.lax.scan(
+            fwd_step_fused, state, (seeds, do_refills))
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs) = rec_ys
+        STs = STs[:, 0]                      # starts only at inner step 0
+    else:
+        steps = jnp.arange(window)
+        do_refills = (steps < refill) & (steps % cadence == 0)
+        step_keys = jax.random.split(base_key, window)
+        state, ((Es, Ws, CFs, STs_w), segs) = jax.lax.scan(
+            fwd_step, state, (step_keys, do_refills))
+        comp = lambda x, c: x[..., c].reshape(outer, cadence, n)
+        Er, Eg, Eb = (comp(Es, c) for c in range(3))
+        Wr, Wg, Wb = (comp(Ws, c) for c in range(3))
+        CF = CFs.reshape(outer, cadence, n)
+        STs = STs_w.reshape(outer, cadence, n)[:, 0]
+    k_after = state[8]
+
+    # reverse harvest: identical clamp recursion, plus a per-lane start
+    # countdown so each harvest knows its item (= lane_base + k) and thus
+    # its pixel slot g without any recorded cursor
+    def rev_outer(carry, xs):
+        Lr, Lg, Lb, cnt = carry
+        er, eg, eb, wr, wg, wb, cf, started = xs
+        for j in reversed(range(cadence)):
+            raw_r = er[j] + wr[j] * Lr
+            raw_g = eg[j] + wg[j] * Lg
+            raw_b = eb[j] + wb[j] * Lb
+            s = raw_r + raw_g + raw_b
+            over = (cf[j] != 0) & (s > max_contribution)
+            scale = jnp.where(over,
+                              max_contribution / jnp.where(over, s, 1.0), 1.0)
+            Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
+        cnt2 = cnt - started.astype(jnp.int32)
+        g = jnp.where(started,
+                      (lane_base + cnt2) // n_strata - first_pix, -1)
+        hr = jnp.where(started, Lr, 0.0)
+        hg = jnp.where(started, Lg, 0.0)
+        hb = jnp.where(started, Lb, 0.0)
+        Lr = jnp.where(started, 0.0, Lr)
+        Lg = jnp.where(started, 0.0, Lg)
+        Lb = jnp.where(started, 0.0, Lb)
+        return (Lr, Lg, Lb, cnt2), (hr, hg, hb, g)
+
+    zero_l = jnp.zeros((n,), dtype)
+    _, (Hr, Hg, Hb, Gm) = jax.lax.scan(
+        rev_outer, (zero_l, zero_l, zero_l, k_after),
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs), reverse=True)
+
+    Hr, Hg, Hb, Gm = (x[:refill_outer] for x in (Hr, Hg, Hb, Gm))
+    for gi in range(G):
+        m = Gm == gi
+        Br = Br.at[gi].add(jnp.sum(jnp.where(m, Hr, 0.0), axis=0))
+        Bg = Bg.at[gi].add(jnp.sum(jnp.where(m, Hg, 0.0), axis=0))
+        Bb = Bb.at[gi].add(jnp.sum(jnp.where(m, Hb, 0.0), axis=0))
+
+    # k never exceeds quota, so sum(k) == total_items <=> all lanes done:
+    # the packed cursor pair has the same meaning as the queue schedule's
+    cur = jnp.stack([jnp.sum(k_after), jnp.sum(segs)])
+    return Br, Bg, Bb, state, cur
+
+
+@partial(jax.jit, donate_argnums=(2, 3, 4, 5),
+         static_argnames=("width", "npix", "sqrt_spp", "n_strata", "G",
+                          "window", "refill", "cadence", "n_u", "max_depth",
+                          "max_contribution", "use_pallas", "interpret"))
+def _run_window_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
+                    Br, Bg, Bb, state, quota, lane_base, first_pix,
+                    base_key, *,
+                    width, npix, sqrt_spp, n_strata, G, window, refill,
+                    cadence, n_u, max_depth, max_contribution, use_pallas,
+                    interpret):
+    return _window_impl_pos(
+        scene, arrays, Br, Bg, Bb, state, quota, lane_base, first_pix,
+        base_key, width=width, npix=npix, sqrt_spp=sqrt_spp,
+        n_strata=n_strata, G=G, window=window, refill=refill,
+        cadence=cadence, n_u=n_u, max_depth=max_depth,
+        max_contribution=max_contribution, use_pallas=use_pallas,
+        interpret=interpret)
+
+
+def _pos_film(Br, Bg, Bb, first_pix_np, npix, n_strata, h, w):
+    """Film assembly from the positional accumulators: one bincount per
+    channel over the static (slot -> pixel) map; slots a lane never owns
+    hold exact zeros, so clipping their (out-of-range) pixel ids is
+    harmless."""
+    G = Br.shape[0]
+    pix = first_pix_np[None, :] + np.arange(G, dtype=np.int64)[:, None]
+    flat = pix.clip(0, npix - 1).ravel()
+    chans = [np.bincount(flat, weights=np.asarray(Bc, dtype=np.float64).ravel(),
+                         minlength=npix) for Bc in (Br, Bg, Bb)]
+    return (np.stack(chans, axis=-1) / n_strata).reshape(h, w, 3) \
+        .astype(np.float32)
+
+
 def _auto_reorder(use_pallas, reorder):
     """Coherence-reorder policy: explicit bool wins; "auto" currently
     resolves to OFF — measured on the v5e (scripts/ab_reorder.py), the
@@ -362,19 +577,125 @@ def _resolve_cadence(cadence: int, cam) -> int:
     return cam.regen_cadence if getattr(cam, "regen_cadence", 0) > 0 else 1
 
 
+def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, state, n,
+                              n_dev, dtype, *, axis, spec, rep, shard,
+                              npix, n_strata, total_items, width, h,
+                              sqrt_spp, window, refill, cadence, n_u,
+                              use_pallas, interpret):
+    """Positional-schedule core of render_regen_sharded: the global lane
+    pool (n_dev * n lanes) owns static item blocks; each device carries
+    the lane-sharded slice of the quota/base/first-pix tables and its own
+    (G, n) accumulators. Per-window cross-device traffic is two psums and
+    one tiny all_gather of replicated scalars."""
+    from jax.experimental.shard_map import shard_map
+
+    n_tot = n_dev * n
+    quota_np, base_np, fpix_np, G = _pos_tables(npix, n_strata, n_tot)
+    to_dev = lambda a: jax.device_put(jnp.asarray(a), shard)
+    quota = to_dev(quota_np)
+    lane_base = to_dev(base_np)
+    first_pix = to_dev(fpix_np)
+    B = [jax.device_put(jnp.zeros((n_dev, G, n), dtype), shard)
+         for _ in range(3)]
+    # int32 cumulative per-shard segments: bounded by windows*window*n
+    # per shard — fine up to ~2e9 segments/shard (s64 needs jax x64)
+    seg_cum = jnp.zeros((n_dev,), jnp.int32)
+
+    pos_statics = dict(width=width, npix=npix, sqrt_spp=sqrt_spp,
+                       n_strata=n_strata, G=G, window=window, refill=refill,
+                       cadence=cadence, n_u=n_u, max_depth=cam.max_depth,
+                       max_contribution=cam.max_contribution,
+                       use_pallas=use_pallas, interpret=interpret)
+
+    def body(scene_a, arrays_a, Br_s, Bg_s, Bb_s, state_s, q_s, b_s, f_s,
+             seg_cum_r, wkey):
+        i = jax.lax.axis_index(axis)
+        bkey = jax.random.fold_in(wkey, i)
+        Br2, Bg2, Bb2, state2, cur = _window_impl_pos(
+            scene_a, arrays_a, Br_s[0], Bg_s[0], Bb_s[0],
+            tuple(x[0] for x in state_s), q_s, b_s, f_s, bkey,
+            **pos_statics)
+        started_all = jax.lax.psum(cur[0], axis)
+        seg_all = jax.lax.psum(cur[1], axis)
+        # per-shard cumulative segments carried ON DEVICE so the host
+        # never syncs mid-pipeline for the work-balance metric
+        seg_cum2 = seg_cum_r + jax.lax.all_gather(cur[1], axis)
+        return (Br2[None], Bg2[None], Bb2[None],
+                tuple(x[None] for x in state2),
+                jnp.stack([started_all, seg_all]), seg_cum2)
+
+    sharded_window = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, spec, spec, spec, spec, spec, spec, spec,
+                  rep, rep),
+        out_specs=(spec, spec, spec, spec, rep, rep),
+        check_rep=False))
+
+    from go_raytracer_tpu.utils import progress
+    bar = progress.Bar(total_items, enabled=False)
+
+    state_box = [state]
+
+    def dispatch(wkey):
+        nonlocal seg_cum
+        (B[0], B[1], B[2], state_box[0],
+         cur, seg_cum) = sharded_window(
+            scene, arrays, B[0], B[1], B[2], state_box[0],
+            quota, lane_base, first_pix, seg_cum, wkey)
+        return cur
+
+    t0 = _time.perf_counter()
+    _, segments, n_windows, window_times = _window_pipeline(
+        dispatch, total_items, key, 0, bar)
+    seg_per_shard = np.asarray(seg_cum, dtype=np.int64)
+    elapsed = _time.perf_counter() - t0
+
+    Bs = [np.asarray(c) for c in B]
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        Bs = [multihost_utils.process_allgather(c, tiled=False) for c in B]
+        Bs = [np.asarray(c) for c in Bs]
+    # (n_dev, G, n) -> global (G, n_tot) with lane = d*n + local
+    Bg_ = [c.transpose(1, 0, 2).reshape(G, n_tot) for c in Bs]
+    linear = _pos_film(Bg_[0], Bg_[1], Bg_[2], fpix_np, npix, n_strata,
+                       h, width)
+    stats = {
+        "elapsed_s": elapsed,
+        "segments": segments,
+        "paths": total_items,
+        "rays_per_s": segments / elapsed if elapsed > 0 else float("nan"),
+        "paths_per_s": total_items / elapsed if elapsed > 0 else float("nan"),
+        "windows": n_windows,
+        "window_s": window_times,
+        "devices": n_dev,
+        "schedule": "positional",
+        "segments_per_shard": seg_per_shard.tolist(),
+        "work_balance": float(seg_per_shard.min()
+                              / max(seg_per_shard.max(), 1)),
+        "occupancy": segments / max(n_windows * window * n * n_dev, 1),
+    }
+    return linear, stats
+
+
 def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                          n_lanes: int = 1 << 17, refill_len: int = 0,
                          cadence: int = 0, backend: str = "auto",
-                         reorder="auto", dtype=jnp.float32):
+                         reorder="auto", schedule: str = "auto",
+                         dtype=jnp.float32):
     """Multi-device regeneration render over a 1-D `jax.sharding.Mesh`.
 
-    TPU-native scaling design: the (pixel, stratum) queue is split into one
-    contiguous item range per device and each device runs an INDEPENDENT
-    persistent-lane queue over its range (its own lane pool, refill cursor,
-    RNG stream via fold_in on the mesh axis index) — zero per-step
-    collectives; data only crosses ICI when the final sharded accumulator
-    is assembled into the image. This is the regen analog of SURVEY.md §2's
-    pixel/sample sharding, applied to the fast path.
+    TPU-native scaling design: the (pixel, stratum) work is split per
+    device and each device runs an INDEPENDENT persistent-lane pool over
+    its share (its own refill cursor and RNG stream via fold_in on the
+    mesh axis index) — zero per-step collectives; data only crosses ICI
+    when the per-window replicated scalars are reduced and when the final
+    sharded accumulator is assembled into the image. This is the regen
+    analog of SURVEY.md §2's pixel/sample sharding, applied to the fast
+    path. With `schedule="queue"` each device owns a contiguous item
+    range; with "positional" the global lane pool (n_dev * n_lanes lanes)
+    owns static per-lane blocks (`_pos_tables`) and the per-device tables
+    are just lane-sharded slices of the global ones.
 
     Returns (linear image (H, W, 3), stats) with per-shard item/segment
     accounting in stats."""
@@ -415,14 +736,25 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = tuple(dev(x) for x in _init_state(n, dtype))
-    acc = jnp.zeros((n_dev, chunk + n, 3), dtype)
-    next_items = jnp.arange(n_dev, dtype=jnp.int32) * chunk
 
     spec = P(axis)
     rep = P()
     shard = NamedSharding(mesh, spec)
-    acc = jax.device_put(acc, shard)
     state = tuple(jax.device_put(s, shard) for s in state)
+
+    # "auto" matches render_regen's resolution
+    if schedule == "positional":
+        return _render_regen_sharded_pos(
+            scene, arrays, cam, mesh, key, state, n, n_dev, dtype,
+            axis=axis, spec=spec, rep=rep, shard=shard, npix=npix,
+            n_strata=n_strata, total_items=total_items, width=w, h=h,
+            sqrt_spp=sqrt_spp, window=window, refill=refill,
+            cadence=cadence, n_u=n_u, use_pallas=use_pallas,
+            interpret=statics["interpret"])
+
+    acc = jnp.zeros((n_dev, chunk + n, 3), dtype)
+    next_items = jnp.arange(n_dev, dtype=jnp.int32) * chunk
+    acc = jax.device_put(acc, shard)
     next_items = jax.device_put(next_items, shard)
 
     def body(scene_a, arrays_a, acc_s, state_s, next_s, wkey):
@@ -527,10 +859,72 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     return linear, stats
 
 
+def _window_pipeline(dispatch, total_items, key, n_windows, bar,
+                     checkpoint_cb=None, checkpoint_every=4, start_i=0):
+    """Depth-1 window pipeline shared by both schedules.
+
+    The device executes a window in ~2/3 of its wall time — the rest is
+    the host->tunnel dispatch + cursor-readback round trip (~20ms/window
+    measured on the v5e tunnel). `dispatch(wkey)` launches one window
+    (chaining all state device-side) and returns its packed
+    [items-started-cursor, segments] device pair; the pipeline reads each
+    pair one window late so window k+1 is already in flight during
+    window k's readback. A starts-per-window estimate keeps the tail
+    honest: when the in-flight window likely drains the work, sync
+    instead of dispatching a speculative no-op window (the first window
+    is always synced to learn the estimate, so single-window renders
+    behave exactly as the unpipelined loop). Returns
+    (final cursor, segments, n_windows, per-dispatch wall times)."""
+    segments = 0
+    next_i = start_i
+    window_times = []
+    pending = None          # cursor pair of the in-flight window
+    s_est = None            # starts per window, from the last sync
+
+    def sync(cur):
+        nonlocal next_i, segments, s_est
+        prev = next_i
+        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback
+        segments += seg
+        if next_i > prev:
+            s_est = next_i - prev
+        bar.tick(next_i - bar.done)
+
+    while next_i < total_items:
+        if pending is not None and s_est is not None \
+                and total_items - next_i <= 1.25 * s_est:
+            sync(pending)    # in-flight window likely finishes the work
+            pending = None
+            continue
+        wt0 = _time.perf_counter()
+        cur = dispatch(jax.random.fold_in(key, n_windows))
+        n_windows += 1
+        if pending is not None:
+            sync(pending)    # overlaps with the window just dispatched
+            pending = cur
+        elif s_est is None:
+            sync(cur)        # first window: learn starts-per-window
+        else:
+            pending = cur
+        window_times.append(_time.perf_counter() - wt0)
+        if checkpoint_cb and n_windows % checkpoint_every == 0:
+            if pending is not None:
+                sync(pending)    # saved state must match the saved cursor
+                pending = None
+            checkpoint_cb(next_i, n_windows)
+    if pending is not None:
+        sync(pending)        # final (possibly no-op) in-flight window
+    if checkpoint_cb and window_times:
+        # final save after the pipeline drains, so a finished render
+        # always leaves a completed checkpoint (resume = zero new windows)
+        checkpoint_cb(next_i, n_windows)
+    return next_i, segments, n_windows, window_times
+
+
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
                  cadence: int = 0, backend: str = "auto", reorder="auto",
-                 dtype=jnp.float32,
+                 schedule: str = "auto", dtype=jnp.float32,
                  checkpoint_path=None, checkpoint_every: int = 4,
                  scene_name: str = "", verbose: bool = False):
     """Render the full image with ray regeneration — the production path.
@@ -540,10 +934,24 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     restarts lanes only every `cadence` steps — fewer harvest rows to
     compact at the cost of lane idle time between paths.
 
+    `schedule` picks the work assignment: "queue" = dynamic item queue
+    (rank-cumsum refill + sort-compacted harvest, perfectly load
+    balanced), "positional" = static per-lane item blocks (`_pos_tables`:
+    no cumsum, no harvest sort). MEASURED on the v5e (cornell 100spp,
+    cadence 4): positional 174.3M vs queue 246.9M rays/s — a lane gets
+    only one start opportunity per cadence rows (51/window) against a
+    275-path quota, so the drain stretches over 4+ sparse windows
+    (occupancy 0.286 vs 0.449) and the imbalance costs more than the
+    14.3ms harvest sort it eliminates. "auto" therefore resolves to
+    queue. The schedule's real payoff needs the refill INSIDE the fused
+    kernel at every bounce step (per-lane take needs no global cumsum —
+    see docs/PERFORMANCE.md roadmap), which removes the cadence/idle
+    tradeoff instead of trading sort time for drain time.
+
     Checkpoint/resume: between windows no path state is in flight (every
-    started path completes inside its window), so (accumulator, queue
-    cursor, window count) is a consistent checkpoint; a matching prior
-    checkpoint resumes the queue where it left off.
+    started path completes inside its window), so (accumulator, cursor,
+    window count) is a consistent checkpoint; a matching prior checkpoint
+    resumes where it left off (per-schedule format).
     """
     from go_raytracer_tpu.render import checkpoint as checkpoint_mod
     from go_raytracer_tpu.utils import progress
@@ -582,99 +990,109 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         cadence = 1
         window = refill + d1
 
+    # "auto" resolves to "queue" until the positional schedule's v5e
+    # numbers are in (flip pending measurement)
+    positional = schedule == "positional"
     state = _init_state(n, dtype)
-    # `n_lanes` tail rows absorb the final window's row-padding writes
-    acc = jnp.zeros((total_items + n, 3), dtype)
-    next_item = jnp.int32(0)
-    segments = 0
     n_windows = 0
     meta = checkpoint_mod.meta_for(scene_name, cam)
     meta["lanes"] = n
-    if checkpoint_path:
-        loaded = checkpoint_mod.load(checkpoint_path)
-        if loaded is not None and checkpoint_mod.compatible(loaded[2], meta) \
-                and loaded[0].shape == acc.shape:
-            acc_np, next_i, lmeta = loaded
-            acc = jnp.asarray(acc_np, dtype=dtype)
-            next_item = jnp.int32(next_i)
-            n_windows = int(lmeta.get("windows", 0))
+    interpret = jax.default_backend() != "tpu"
     bar = progress.Bar(total_items, enabled=verbose)
-    bar.tick(int(next_item))
-    next_i = int(next_item)
-    window_times = []
+
+    if positional:
+        quota_np, base_np, fpix_np, G = _pos_tables(npix, n_strata, n)
+        quota = jnp.asarray(quota_np)
+        lane_base = jnp.asarray(base_np)
+        first_pix = jnp.asarray(fpix_np)
+        B = [jnp.zeros((G, n), dtype) for _ in range(3)]
+        meta["schedule"] = np.bytes_(b"positional")
+        start_i = 0
+        if checkpoint_path:
+            loaded = checkpoint_mod.load(checkpoint_path)
+            if loaded is not None \
+                    and checkpoint_mod.compatible(loaded[2], meta) \
+                    and loaded[0].shape == (3, G, n) \
+                    and loaded[2].get("schedule") == meta["schedule"]:
+                B = [jnp.asarray(loaded[0][c], dtype=dtype) for c in range(3)]
+                extra = checkpoint_mod.load_extra(checkpoint_path)
+                if "k" in extra and extra["k"].shape == (n,):
+                    state = state[:8] + (jnp.asarray(extra["k"], jnp.int32),
+                                         state[9])
+                    start_i = int(loaded[1])
+                    n_windows = int(loaded[2].get("windows", 0))
+        bar.tick(start_i)
+
+        def dispatch(wkey):
+            nonlocal B, state
+            B[0], B[1], B[2], state, cur = _run_window_pos(
+                scene, arrays, B[0], B[1], B[2], state,
+                quota, lane_base, first_pix, wkey,
+                width=w, npix=npix, sqrt_spp=sqrt_spp, n_strata=n_strata,
+                G=G, window=window, refill=refill, cadence=cadence,
+                n_u=n_u, max_depth=cam.max_depth,
+                max_contribution=cam.max_contribution,
+                use_pallas=use_pallas, interpret=interpret)
+            return cur
+
+        def checkpoint_cb(ni, nw):
+            meta["windows"] = nw
+            checkpoint_mod.save(
+                checkpoint_path,
+                np.stack([np.asarray(c) for c in B]), ni, meta,
+                extra={"k": np.asarray(state[8])})
+    else:
+        # `n_lanes` tail rows absorb the final window's row-padding writes
+        acc = jnp.zeros((total_items + n, 3), dtype)
+        start_i = 0
+        if checkpoint_path:
+            loaded = checkpoint_mod.load(checkpoint_path)
+            if loaded is not None \
+                    and checkpoint_mod.compatible(loaded[2], meta) \
+                    and loaded[0].shape == acc.shape:
+                acc = jnp.asarray(loaded[0], dtype=dtype)
+                start_i = int(loaded[1])
+                n_windows = int(loaded[2].get("windows", 0))
+        bar.tick(start_i)
+        next_dev = jnp.int32(start_i)
+
+        def dispatch(wkey):
+            nonlocal acc, state, next_dev
+            acc, state, cur = _run_window(
+                scene, arrays, acc, state, next_dev, wkey,
+                width=w, npix=npix, sqrt_spp=sqrt_spp,
+                total_items=total_items, window=window, refill=refill,
+                cadence=cadence, n_u=n_u, max_depth=cam.max_depth,
+                max_contribution=cam.max_contribution,
+                use_pallas=use_pallas, interpret=interpret,
+                reorder=_auto_reorder(use_pallas, reorder))
+            next_dev = cur[0]
+            return cur
+
+        def checkpoint_cb(ni, nw):
+            meta["windows"] = nw
+            checkpoint_mod.save(checkpoint_path, np.asarray(acc), ni, meta)
+
     t0 = _time.perf_counter()
-
-    # Window pipelining: the device executes a window in ~2/3 of its wall
-    # time — the rest is the host->tunnel dispatch + cursor-readback round
-    # trip (~20ms/window measured on the v5e tunnel). Chaining the queue
-    # cursor DEVICE-side (next window consumes the previous window's
-    # packed cursor array, no host value in between) lets window k+1 be
-    # dispatched before window k's readback, hiding that tax. A
-    # starts-per-window estimate keeps the tail honest: when the in-flight
-    # window likely drains the queue, sync instead of dispatching a
-    # speculative no-op window (the first window is always synced to learn
-    # the estimate, so single-window renders behave exactly as before).
-    pending = None          # cursor array of the in-flight window
-    s_est = None            # starts per window, from the last sync
-    next_dev = next_item
-
-    def sync(cur):
-        nonlocal next_i, segments, s_est
-        prev = next_i
-        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback
-        segments += seg
-        if next_i > prev:
-            s_est = next_i - prev
-        bar.tick(next_i - bar.done)
-
-    while next_i < total_items:
-        if pending is not None and s_est is not None \
-                and total_items - next_i <= 1.25 * s_est:
-            sync(pending)        # in-flight window likely finishes the queue
-            pending = None
-            continue
-        wt0 = _time.perf_counter()
-        wkey = jax.random.fold_in(key, n_windows)
-        acc, state, cur = _run_window(
-            scene, arrays, acc, state, next_dev, wkey,
-            width=w, npix=npix, sqrt_spp=sqrt_spp, total_items=total_items,
-            window=window, refill=refill, cadence=cadence, n_u=n_u,
-            max_depth=cam.max_depth,
-            max_contribution=cam.max_contribution, use_pallas=use_pallas,
-            interpret=jax.default_backend() != "tpu",
-            reorder=_auto_reorder(use_pallas, reorder))
-        next_dev = cur[0]
-        n_windows += 1
-        if pending is not None:
-            sync(pending)        # overlaps with the window just dispatched
-            pending = cur
-        elif s_est is None:
-            sync(cur)            # first window: learn starts-per-window
-        else:
-            pending = cur
-        window_times.append(_time.perf_counter() - wt0)
-        if checkpoint_path and n_windows % checkpoint_every == 0:
-            if pending is not None:
-                sync(pending)    # acc must match the saved cursor
-                pending = None
-            meta["windows"] = n_windows
-            checkpoint_mod.save(checkpoint_path, np.asarray(acc),
-                                next_i, meta)
-    if pending is not None:
-        sync(pending)            # final (possibly no-op) in-flight window
-    if checkpoint_path and window_times:
-        # final save after the pipeline drains, so a finished render always
-        # leaves a completed checkpoint (resume = zero new windows)
-        meta["windows"] = n_windows
-        checkpoint_mod.save(checkpoint_path, np.asarray(acc), next_i, meta)
-    acc.block_until_ready()
+    next_i, segments, n_windows, window_times = _window_pipeline(
+        dispatch, total_items, key, n_windows, bar,
+        checkpoint_cb=checkpoint_cb if checkpoint_path else None,
+        checkpoint_every=checkpoint_every, start_i=start_i)
+    if positional:
+        for c in B:
+            c.block_until_ready()
+    else:
+        acc.block_until_ready()
     bar.close()
     elapsed = _time.perf_counter() - t0
 
-    # item = stratum * npix + pixel -> average over strata
-    linear = np.asarray(
-        jnp.mean(acc[:total_items].reshape(n_strata, npix, 3),
-                 axis=0)).reshape(h, w, 3)
+    if positional:
+        linear = _pos_film(B[0], B[1], B[2], fpix_np, npix, n_strata, h, w)
+    else:
+        # item = stratum * npix + pixel -> average over strata
+        linear = np.asarray(
+            jnp.mean(acc[:total_items].reshape(n_strata, npix, 3),
+                     axis=0)).reshape(h, w, 3)
     stats = {
         "elapsed_s": elapsed,
         "segments": segments,
@@ -683,6 +1101,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         "paths_per_s": total_items / elapsed if elapsed > 0 else float("nan"),
         "windows": n_windows,
         "window_s": window_times,
-        "occupancy": segments / (n_windows * window * n),
+        "schedule": "positional" if positional else "queue",
+        "occupancy": segments / max(n_windows * window * n, 1),
     }
     return linear, stats

@@ -18,8 +18,10 @@ from typing import Optional
 import numpy as np
 
 
-def save(path: str, acc: np.ndarray, next_stratum: int, meta: dict):
-    """Atomic checkpoint write (tmp + rename)."""
+def save(path: str, acc: np.ndarray, next_stratum: int, meta: dict,
+         extra: Optional[dict] = None):
+    """Atomic checkpoint write (tmp + rename). `extra` holds additional
+    named arrays (e.g. the positional scheduler's per-lane start counts)."""
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     # the suffix must be .npz or np.savez silently appends one and the
@@ -28,7 +30,8 @@ def save(path: str, acc: np.ndarray, next_stratum: int, meta: dict):
     os.close(fd)
     try:
         np.savez(tmp, acc=acc, next_stratum=np.int64(next_stratum),
-                 **{f"meta_{k}": np.asarray(v) for k, v in meta.items()})
+                 **{f"meta_{k}": np.asarray(v) for k, v in meta.items()},
+                 **{f"x_{k}": np.asarray(v) for k, v in (extra or {}).items()})
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -36,7 +39,8 @@ def save(path: str, acc: np.ndarray, next_stratum: int, meta: dict):
 
 
 def load(path: str):
-    """Returns (acc, next_stratum, meta) or None if absent/corrupt."""
+    """Returns (acc, next_stratum, meta[, extra available via load_extra])
+    or None if absent/corrupt."""
     if not os.path.exists(path):
         return None
     try:
@@ -47,6 +51,15 @@ def load(path: str):
         return acc, next_stratum, meta
     except Exception:
         return None
+
+
+def load_extra(path: str) -> dict:
+    """The `extra` arrays of a checkpoint ({} if absent/none)."""
+    try:
+        with np.load(path) as z:
+            return {k[2:]: z[k] for k in z.files if k.startswith("x_")}
+    except Exception:
+        return {}
 
 
 def meta_for(scene_name: str, cam) -> dict:

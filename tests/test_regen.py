@@ -404,3 +404,150 @@ def test_reorder_statistical_agreement_dense_scene():
                                   n_lanes=4096, cadence=4, backend="xla")
     assert abs(float(img_p.mean()) - float(img_x.mean())) < 0.02
     assert float(np.abs(img_p - img_x).mean()) < 0.15
+
+
+# ---------------------------------------------------------------- positional
+
+
+def test_positional_every_item_contributes_exactly_once():
+    """Empty scene, background 1: the positional schedule's per-lane
+    block accounting (quota/lane_base/slot-g harvest + final bincount)
+    must deliver every (pixel, stratum) item exactly once — the image is
+    exactly 1.0. Covers npix < n_lanes AND npix > n_lanes regimes."""
+    scene = empty_scene()
+    for lanes, width in ((128, 16), (64, 16), (512, 16)):
+        cam = Camera(width=width, aspect_ratio=1.0, samples_per_pixel=9,
+                     max_depth=4)
+        cam.position((0, 0, 5), (0, 0, 0))
+        img, stats = regen.render_regen(scene, cam, jax.random.key(0),
+                                        n_lanes=lanes, backend="xla",
+                                        schedule="positional")
+        np.testing.assert_allclose(img, 1.0, atol=1e-6)
+        assert stats["schedule"] == "positional"
+
+
+def test_positional_pixel_mapping_matches_queue():
+    """An emissive quad on a black background renders deterministically
+    per ray (first hit -> emission, no RNG beyond the stratum jitter), so
+    away from the quad's silhouette edges the positional and queue
+    schedules must produce IDENTICAL pixels — this pins the slot-g ->
+    pixel bincount mapping (a permutation bug would preserve means but
+    scramble pixels)."""
+    b = SceneBuilder(background=(0, 0, 0))
+    light = b.diffuse_light((2.0, 1.0, 0.5))
+    lq = b.quad((-2.0, -1.5, 0.0), (4, 0, 0), (0, 3, 0), light)
+    b.add_light(lq)
+    scene = b.build()
+    cam = Camera(width=24, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=2)
+    cam.position((0, 0, 4), (0, 0, 0))
+    iq, _ = regen.render_regen(scene, cam, jax.random.key(0), n_lanes=96,
+                               backend="xla", schedule="queue")
+    ip, _ = regen.render_regen(scene, cam, jax.random.key(0), n_lanes=96,
+                               backend="xla", schedule="positional")
+    # edge pixels may differ (different jitter draws straddle the
+    # silhouette); interior/exterior pixels must match exactly
+    mismatch = np.abs(iq - ip).max(axis=-1) > 1e-6
+    assert mismatch.mean() < 0.25, f"{mismatch.mean():.2f} pixels differ"
+    # erode by one pixel: a fully-hit pixel whose whole 3x3 neighborhood
+    # is also fully-hit is >=1px from the silhouette, so EITHER
+    # schedule's jitter (confined to the pixel footprint) must hit
+    hit = (iq == np.array([2.0, 1.0, 0.5])).all(axis=-1)
+    interior = hit.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            interior &= np.roll(np.roll(hit, dy, 0), dx, 1)
+    interior[0, :] = interior[-1, :] = False
+    interior[:, 0] = interior[:, -1] = False
+    assert interior.sum() > 10  # the quad really covers pixels
+    np.testing.assert_allclose(ip[interior], iq[interior], atol=1e-6)
+
+
+def test_positional_checkpoint_resume_exact(tmp_path, monkeypatch):
+    """Positional-schedule checkpointing: interrupting after any window
+    and resuming reproduces the uninterrupted render bit-for-bit; a
+    completed checkpoint resumes with zero new segments."""
+    import shutil
+    from go_raytracer_tpu.render import checkpoint as ck
+
+    scene = box_scene()
+    cam = Camera(width=8, aspect_ratio=1.0, samples_per_pixel=9, max_depth=3)
+    cam.position((0, 2, 6), (0, 1, 0))
+    key = jax.random.key(17)
+    kw = dict(n_lanes=64, refill_len=4, backend="xla",
+              schedule="positional")
+    img_ref, st_ref = regen.render_regen(scene, cam, key, **kw)
+    assert st_ref["windows"] >= 3
+
+    ckpt = str(tmp_path / "r.npz")
+    saved = []
+    real_save = ck.save
+
+    def capture_save(path, acc, next_item, meta, extra=None):
+        real_save(path, acc, next_item, meta, extra)
+        snap = str(tmp_path / f"snap{len(saved)}.npz")
+        shutil.copy(path, snap)
+        saved.append(snap)
+
+    monkeypatch.setattr(ck, "save", capture_save)
+    img_full, _ = regen.render_regen(scene, cam, key, checkpoint_path=ckpt,
+                                     checkpoint_every=1, scene_name="box",
+                                     **kw)
+    np.testing.assert_array_equal(img_full, img_ref)
+    assert len(saved) >= 2
+    monkeypatch.setattr(ck, "save", real_save)
+
+    shutil.copy(saved[0], ckpt)
+    img_res, st_res = regen.render_regen(scene, cam, key,
+                                         checkpoint_path=ckpt,
+                                         scene_name="box", **kw)
+    np.testing.assert_array_equal(img_res, img_ref)
+    assert len(st_res["window_s"]) < st_ref["windows"]
+
+    img_done, st_done = regen.render_regen(scene, cam, key,
+                                           checkpoint_path=ckpt,
+                                           scene_name="box", **kw)
+    np.testing.assert_array_equal(img_done, img_ref)
+    assert st_done["segments"] == 0
+
+
+def test_positional_statistically_matches_queue():
+    """Cornell-style closed scene: the two schedules are different
+    unbiased estimators of the same image; their image means must agree
+    within the measured key-to-key MC spread."""
+    from go_raytracer_tpu.scenes import registry
+
+    scene, cam = registry.cornell_box()
+    cam.width = 16
+    cam.aspect_ratio = 1.0
+    cam.samples_per_pixel = 16
+    cam.max_depth = 4
+    mq = [float(regen.render_regen(scene, cam, jax.random.key(k),
+                                   n_lanes=256, backend="xla",
+                                   schedule="queue")[0].mean())
+          for k in range(2)]
+    mp = [float(regen.render_regen(scene, cam, jax.random.key(k),
+                                   n_lanes=256, backend="xla",
+                                   schedule="positional")[0].mean())
+          for k in range(2)]
+    spread = max(mq) - min(mq) + max(mp) - min(mp) + 0.01
+    assert abs(np.mean(mq) - np.mean(mp)) < 3 * spread
+
+
+def test_sharded_positional_exact_bookkeeping():
+    """8-device shard_map regen with the positional schedule: lane-sharded
+    static blocks; an all-miss scene must produce exactly the background
+    and exactly one segment per path across all shards."""
+    from go_raytracer_tpu.parallel import mesh as pmesh
+
+    scene = empty_scene(bg=(0.25, 0.5, 0.75))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    m = pmesh.make_mesh(8, axes=("data",))
+    img, st = regen.render_regen_sharded(scene, cam, m, jax.random.key(0),
+                                         n_lanes=64, backend="xla",
+                                         schedule="positional")
+    np.testing.assert_allclose(img[..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], 0.75, atol=1e-6)
+    assert st["segments"] == 16 * 16 * 9
+    assert st["devices"] == 8 and st["schedule"] == "positional"
