@@ -105,6 +105,24 @@ def quad_ts(qd: T.Quads, o: jnp.ndarray, d: jnp.ndarray,
     return jnp.where(valid, t, INF)
 
 
+def box_ts(bx: "T.Boxes", o: jnp.ndarray, d: jnp.ndarray,
+           t_min: float, t_max: float) -> jnp.ndarray:
+    """Hit distances (N, B) for the fused axis-aligned-box table.
+
+    One slab test replaces the six quad plane+interior tests of the
+    reference's box (objects.go:208-240): the closest of the six quad
+    hits is the slab entry t when it clears t_min, else the exit t
+    (ray starts inside the box — the interior back face the quads would
+    return). Closed-interval semantics match quad_ts."""
+    near, far, span_ok = box_slab_span(bx.lo[None, :, :], bx.hi[None, :, :],
+                                       o[:, None, :], d[:, None, :])
+    t = jnp.where(near >= t_min, near, far)
+    valid = (span_ok & (far >= near)
+             & (t_min <= t) & (t <= t_max)
+             & bx.active[None, :])
+    return jnp.where(valid, t, INF)
+
+
 def tri_ts(tr: T.Triangles, o: jnp.ndarray, d: jnp.ndarray,
            t_min: float, t_max: float) -> jnp.ndarray:
     """Hit distances (N, T) for the triangle table.

@@ -97,7 +97,8 @@ def supported(scene: T.Scene, max_prims: int = 4096, max_lights: int = 8,
     if scene.has_media and scene.media.count > max_media:
         return False
     n_prims = (scene.spheres.count if scene.has_spheres else 0) + \
-        (scene.quads.count if scene.has_quads else 0)
+        (scene.quads.count if scene.has_quads else 0) + \
+        (scene.boxes.count if scene.has_boxes else 0)
     return 0 < n_prims <= max_prims and 0 < scene.lights.n <= max_lights
 
 
@@ -106,11 +107,13 @@ def scene_statics(scene: T.Scene) -> dict:
     capability flags and table shapes."""
     n_sph = scene.spheres.count if scene.has_spheres else 0
     n_quad = scene.quads.count if scene.has_quads else 0
+    n_box = scene.boxes.count if scene.has_boxes else 0
     pad8 = lambda x: (x + P_BLOCK - 1) // P_BLOCK * P_BLOCK
     return dict(
-        n_sph=n_sph, n_quad=n_quad,
+        n_sph=n_sph, n_quad=n_quad, n_box=n_box,
         sph_base=0, quad_base=pad8(n_sph),
-        n_rows=pad8(n_sph) + pad8(n_quad),
+        box_base=pad8(n_sph) + pad8(n_quad),
+        n_rows=pad8(n_sph) + pad8(n_quad) + pad8(n_box),
         n_lights=scene.lights.count, n_lights_live=scene.lights.n,
         n_media=scene.media.count if scene.has_media else 0,
         has_metal=scene.has_metal, has_dielectric=scene.has_dielectric,
@@ -254,6 +257,19 @@ def pack_scene(scene: T.Scene, cull: bool = False):
             rows, lo, hi = sort_section(rows, lo, hi, qd.active)
             blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
         sections.append(pad_section(rows))
+    if scene.has_boxes:
+        bx = scene.boxes
+        cols = ([jnp.full_like(bx.lo[:, 0], 3.0)]
+                + [bx.lo[:, i] for i in range(3)]
+                + [bx.hi[:, i] for i in range(3)]
+                + [jnp.zeros_like(bx.lo[:, 0])] * 6  # pad to col 13
+                + mat_cols(bx.mat_id))
+        rows = jnp.where(bx.active[:, None], jnp.stack(cols, axis=1),
+                         jnp.full((bx.count, P_COLS), -1.0))
+        if cull:
+            rows, lo, hi = sort_section(rows, bx.lo, bx.hi, bx.active)
+            blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
+        sections.append(pad_section(rows))
     prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
     if blocks:
         blk = jnp.concatenate(blocks, axis=0).astype(jnp.float32)
@@ -365,7 +381,7 @@ T_MIN = 1e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
 # winner-carry layout: t_best, n_h xyz, front_f, prim-kind, cand u/v,
 # then the joined material cols
 N_CARRY = 8 + N_MAT_COLS
-KIND_SPHERE, KIND_QUAD, KIND_MEDIUM = 0.0, 1.0, 2.0
+KIND_SPHERE, KIND_QUAD, KIND_MEDIUM, KIND_BOX = 0.0, 1.0, 2.0, 3.0
 
 
 def _init_carry(like):
@@ -414,6 +430,50 @@ def _quad_candidate(g, rays, t_best):
     # (alpha, beta) double as the quad's texture uv (objects.go:196-199)
     return ok, t_q, g(1) + jnp.zeros_like(px), g(2) + jnp.zeros_like(px), \
         g(3) + jnp.zeros_like(px), alpha, beta
+
+
+def _box_candidate(g, rays, t_best):
+    """Candidate hit vs one fused axis-aligned box row (row layout: 1-3
+    lo, 4-6 hi). One slab test replaces the six quad tests of
+    objects.go:208-240: t = slab entry when it clears T_MIN, else the
+    exit (ray inside); the outward normal is the axis of the bounding
+    slab, sign −d for entry / +d for exit. uv is zeros — fusion is gated
+    on uv-independent textures (scene/builder._box_fusable)."""
+    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    tiny = 1e-30
+    sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
+    sdy = jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
+    sdz = jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
+    ix_, iy_, iz_ = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+    tx0 = (g(1) - ox) * ix_
+    tx1 = (g(4) - ox) * ix_
+    ty0 = (g(2) - oy) * iy_
+    ty1 = (g(5) - oy) * iy_
+    tz0 = (g(3) - oz) * iz_
+    tz1 = (g(6) - oz) * iz_
+    lx, hx = jnp.minimum(tx0, tx1), jnp.maximum(tx0, tx1)
+    ly, hy = jnp.minimum(ty0, ty1), jnp.maximum(ty0, ty1)
+    lz, hz = jnp.minimum(tz0, tz1), jnp.maximum(tz0, tz1)
+    near = jnp.maximum(jnp.maximum(lx, ly), lz)
+    far = jnp.minimum(jnp.minimum(hx, hy), hz)
+    entry = near >= T_MIN
+    t_c = jnp.where(entry, near, far)
+    ok = (g(0) >= 0.0) & (far > near) & (T_MIN <= t_c) & (t_c <= t_best)
+    # axis attaining the winning bound; outward sign flips entry/exit
+    bx_ = jnp.where(entry, lx, hx)
+    by_ = jnp.where(entry, ly, hy)
+    is_x = bx_ == t_c
+    is_y = jnp.logical_and(jnp.logical_not(is_x), by_ == t_c)
+    is_z = jnp.logical_and(jnp.logical_not(is_x), jnp.logical_not(is_y))
+    flip = jnp.where(entry, -1.0, 1.0)
+    sgn_x = jnp.where(dx >= 0, flip, -flip)
+    sgn_y = jnp.where(dy >= 0, flip, -flip)
+    sgn_z = jnp.where(dz >= 0, flip, -flip)
+    zero = jnp.zeros_like(t_c)
+    nx = jnp.where(is_x, sgn_x, zero)
+    ny = jnp.where(is_y, sgn_y, zero)
+    nz = jnp.where(is_z, sgn_z, zero)
+    return ok, t_c, nx, ny, nz, zero, zero
 
 
 def _update_carry(carry, cand, g, rays, kind_code):
@@ -596,6 +656,8 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
                           _sphere_candidate, KIND_SPHERE, rays, cull, carry)
     carry = _scan_section(prim_ref, blk_ref, st["quad_base"], st["n_quad"],
                           _quad_candidate, KIND_QUAD, rays, cull, carry)
+    carry = _scan_section(prim_ref, blk_ref, st["box_base"], st["n_box"],
+                          _box_candidate, KIND_BOX, rays, cull, carry)
     if st["n_media"]:
         carry = _media_update(med_ref, st["n_media"], rays, u, carry)
 
@@ -1262,3 +1324,4 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
                              st_key=_statics_key(statics),
                              has_defocus=has_defocus, max_depth=max_depth,
                              n_inner=n_inner, interpret=interpret)
+

@@ -36,6 +36,7 @@ CLS_SPHERE = 0
 CLS_QUAD = 1
 CLS_TRI = 2
 CLS_MEDIUM = 3
+CLS_BOX = 4
 
 
 @struct.dataclass
@@ -79,6 +80,38 @@ def _quad_attrs(qd: T.Quads, o, d, t, idx):
     front = vm.dot(d, n) < 0
     normal = jnp.where(front[:, None], n, -n)
     return p, normal, front, alpha, beta, qd.mat_id[idx]
+
+
+def _box_attrs(bx: T.Boxes, o, d, t, idx):
+    """Hit attributes for a fused axis-aligned box (types.Boxes): the
+    outward normal is the axis unit vector of the slab that bounds the
+    winning t — the entry slab when t is the entry distance, else the exit
+    slab — exactly the face normal the six-quad decomposition
+    (objects.go:227-237) would report. uv is not reproduced (fusion is
+    gated on uv-independent textures); zeros are returned."""
+    lo, hi = bx.lo[idx], bx.hi[idx]
+    d_safe = jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
+    inv = 1.0 / d_safe
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    per_lo = jnp.minimum(t0, t1)
+    per_hi = jnp.maximum(t0, t1)
+    near = jnp.max(per_lo, axis=-1)
+    far = jnp.min(per_hi, axis=-1)
+    # t equals either the entry or the exit distance (ix.box_ts); pick
+    # whichever bound it actually is (nearer to t), then the axis
+    # attaining that bound
+    entry = jnp.abs(t - near) <= jnp.abs(far - t)
+    per = jnp.where(entry[:, None], per_lo, per_hi)
+    axis = jnp.argmax(jnp.where(entry[:, None], per, -per), axis=-1)
+    sgn = jnp.sign(jnp.take_along_axis(d_safe, axis[:, None], axis=-1))[:, 0]
+    sgn = jnp.where(entry, -sgn, sgn)
+    outward = sgn[:, None] * jnp.eye(3, dtype=o.dtype)[axis]
+    front = vm.dot(d, outward) < 0
+    normal = jnp.where(front[:, None], outward, -outward)
+    p = o + t[:, None] * d
+    zero = jnp.zeros_like(t)
+    return p, normal, front, zero, zero, bx.mat_id[idx]
 
 
 def tri_hit_gathered(tr: T.Triangles, idx, o, d, t_min, t_max):
@@ -323,6 +356,9 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
     if scene.has_quads:
         ts = ix.quad_ts(scene.quads, o, d, t_min, t_max)
         per_class.append((CLS_QUAD, ts.min(axis=1), jnp.argmin(ts, axis=1)))
+    if scene.has_boxes:
+        ts = ix.box_ts(scene.boxes, o, d, t_min, t_max)
+        per_class.append((CLS_BOX, ts.min(axis=1), jnp.argmin(ts, axis=1)))
 
     t_solid = jnp.full((n,), INF, dtype=o.dtype)
     cls = jnp.full((n,), CLS_NONE, dtype=jnp.int32)
@@ -403,6 +439,8 @@ def trace(scene: T.Scene, o: jnp.ndarray, d: jnp.ndarray, time: jnp.ndarray,
                     _sphere_attrs(scene.spheres, o, d, time, t_safe, loc), cur)
     if scene.has_quads:
         cur = merge(cls == CLS_QUAD, _quad_attrs(scene.quads, o, d, t_safe, loc), cur)
+    if scene.has_boxes:
+        cur = merge(cls == CLS_BOX, _box_attrs(scene.boxes, o, d, t_safe, loc), cur)
     if scene.has_triangles:
         cur = merge(cls == CLS_TRI, _tri_attrs(scene.triangles, o, d, t_safe, loc), cur)
     if scene.has_media:

@@ -87,6 +87,7 @@ class SceneBuilder:
         # primitives
         self._spheres = []
         self._quads = []
+        self._boxes = []     # fused axis-aligned boxes (see box())
         self._tri_blocks = []  # bulk SoA blocks of triangles
         self._tri_count = 0
         self._media = []
@@ -176,12 +177,26 @@ class SceneBuilder:
         self._quads.append(dict(q=qq, u=uu, v=vv, mat_id=mat))
         return ("quad", len(self._quads) - 1)
 
-    def box(self, a: Vec, b: Vec, mat: int, transform: Transform = IDENTITY):
+    def box(self, a: Vec, b: Vec, mat: int, transform: Transform = IDENTITY,
+            fuse: bool = True):
         """objects.go:208-240: six quads; the reference wraps them in a BVH,
-        which flattens to the same six rows here."""
+        which flattens to the same six rows here.
+
+        When the baked transform keeps the box axis-aligned AND the
+        material's texture never reads uv (everything but an image
+        texture), the six quads fuse into ONE slab-test row in the Boxes
+        table (6x fewer hot-loop rows; identical t/normal/material —
+        types.Boxes). `fuse=False` forces the six-quad expansion (used by
+        the equivalence tests)."""
         a = np.asarray(a, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if fuse and self._box_fusable(lo, hi, mat, transform):
+            c0 = transform.point(lo)
+            c1 = transform.point(hi)
+            self._boxes.append(dict(lo=np.minimum(c0, c1),
+                                    hi=np.maximum(c0, c1), mat_id=mat))
+            return [("box", len(self._boxes) - 1)]
         dx = np.array([hi[0] - lo[0], 0, 0])
         dy = np.array([0, hi[1] - lo[1], 0])
         dz = np.array([0, 0, hi[2] - lo[2]])
@@ -194,6 +209,21 @@ class SceneBuilder:
         ids.append(self.quad((lo[0], hi[1], hi[2]), dx, -dz, mat, transform))
         ids.append(self.quad((lo[0], lo[1], lo[2]), dx, dz, mat, transform))
         return ids
+
+    def _box_fusable(self, lo, hi, mat: int, transform: Transform) -> bool:
+        """True when the transformed box stays an axis-aligned box (each
+        axis edge maps to a single-axis vector) and the texture is
+        uv-independent (fusion drops uv — types.Boxes)."""
+        tex = self._tex[self._mat[mat]["tex_id"]]
+        if tex["kind"] == T.TEX_IMAGE:
+            return False
+        for axis in range(3):
+            e = np.zeros(3)
+            e[axis] = hi[axis] - lo[axis]
+            v = np.asarray(transform.vector(e), dtype=np.float64)
+            if np.count_nonzero(np.abs(v) > 1e-12 * max(np.abs(v).max(), 1e-300)) > 1:
+                return False
+        return True
 
     def triangle(self, vertices: Sequence[Vec], mat: int,
                  normals: Optional[Sequence[Vec]] = None,
@@ -316,6 +346,16 @@ class SceneBuilder:
             area=f(areas),
             mat_id=i32([r["mat_id"] for r in qd]),
             active=jnp.arange(len(qd)) < n_qd,
+        )
+
+        # --- fused axis-aligned boxes (types.Boxes; padded like the rest)
+        bx = self._boxes or [dict(lo=np.zeros(3), hi=np.ones(3), mat_id=0)]
+        n_bx = len(self._boxes)
+        boxes = T.Boxes(
+            lo=f([r["lo"] for r in bx]),
+            hi=f([r["hi"] for r in bx]),
+            mat_id=i32([r["mat_id"] for r in bx]),
+            active=jnp.arange(len(bx)) < n_bx,
         )
 
         # --- triangles: GEMM precomputes (see types.Triangles docstring)
@@ -486,6 +526,8 @@ class SceneBuilder:
             images=images, lights=lights,
             background=f(self.background),
             tri_bvh=tri_bvh,
+            boxes=boxes,
+            has_boxes=n_bx > 0,
             has_tri_bvh=has_tri_bvh,
             has_spheres=n_sp > 0,
             has_quads=n_qd > 0,

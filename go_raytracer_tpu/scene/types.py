@@ -85,6 +85,26 @@ class Quads:
 
 
 @struct.dataclass
+class Boxes:
+    """Axis-aligned box table. A reference box is six quads in a BVH
+    (hittable/objects.go:208-240); when all six stay axis-aligned after
+    transform baking AND the material's texture never reads uv (anything
+    but an image texture — checker/noise sample the 3D hit point), the
+    builder fuses them into ONE slab-test row: 6x fewer rows in the hot
+    closest-hit loop with identical hit t / outward normal / material.
+    (uv is not reproduced — fusion is gated on textures that ignore it.)"""
+
+    lo: jnp.ndarray      # (B, 3)
+    hi: jnp.ndarray      # (B, 3)
+    mat_id: jnp.ndarray  # (B,) int32
+    active: jnp.ndarray  # (B,) bool
+
+    @property
+    def count(self) -> int:
+        return self.mat_id.shape[0]
+
+
+@struct.dataclass
 class Triangles:
     """Triangle table (hittable/objects.go:242-465), Moller-Trumbore
     (objects.go:408-461) factored into GEMM form: with per-ray m = O x d,
@@ -252,6 +272,8 @@ class Scene:
     lights: Lights
     background: jnp.ndarray  # (3,)
     tri_bvh: TriBVH = None
+    boxes: Boxes = None
+    has_boxes: bool = struct.field(pytree_node=False, default=False)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     has_tri_bvh: bool = struct.field(pytree_node=False, default=False)
     has_quads: bool = struct.field(pytree_node=False, default=True)

@@ -162,9 +162,11 @@ def test_transform_bakes_rotation():
 
 
 def test_box_expands_to_six_quads():
+    # fuse=False forces the reference's six-quad expansion (the default
+    # fuses an axis-aligned uv-free box into one types.Boxes row)
     b = SceneBuilder()
     m = b.lambertian((1, 1, 1))
-    b.box((0, 0, 0), (1, 2, 3), m)
+    b.box((0, 0, 0), (1, 2, 3), m, fuse=False)
     s = b.build()
     assert s.quads.count == 6
     areas = np.asarray(s.quads.area)

@@ -36,7 +36,10 @@ def test_book1_tables():
 
 def test_book2_tables():
     scene, cam = registry.book2(seed=3)
-    assert scene.quads.count == 20 * 20 * 6 + 1  # floor boxes + light
+    # the 400 axis-aligned floor boxes fuse to slab rows (types.Boxes);
+    # only the light stays a quad
+    assert scene.boxes.count == 20 * 20
+    assert scene.quads.count == 1
     # cluster + 6 feature/boundary spheres (the global fog's 5000-radius
     # boundary is NOT in the world — main.go:139-140 adds only the medium)
     assert scene.spheres.count == 1000 + 6
