@@ -395,27 +395,29 @@ def _window_impl_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
         s_j = (stratum % sqrt_spp).astype(dtype)
         return take, pid, s_i, s_j
 
-    def fwd_step_fused(state, inputs):
-        seed_i32, do_refill = inputs
-        ox, oy, oz, dx, dy, dz, t, alive, k, depth = state
-        take, pid, s_i, s_j = refill_assign(k, alive, do_refill)
-        pi = (pid % width).astype(dtype)
-        pj = (pid // width).astype(dtype)
-        from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
+    def fwd_step_fused(state, seed2):
+        """In-kernel scheduler (bounce.bounce_fused_pos): the kernel
+        refills dead lanes at EVERY inner bounce step (per-lane take
+        needs no global cumsum), so there is no cadence idle between a
+        path's death and its lane's next start. State carries the item
+        pointer as (pi, pj, si, sj, rem) small-integer f32 planes."""
+        (ox, oy, oz, dx, dy, dz, t, alive, depth,
+         pi, pj, si, sj, rem) = state
         (rec_planes, img_planes, segc, nox, noy, noz, ndx, ndy, ndz, ntm,
-         alive2, depth2) = \
-            pallas_bounce.bounce_fused(
-                tables, statics, cam_row, scene.background, seed_i32,
+         alive2, depth2, pi2, pj2, si2, sj2, rem2) = \
+            pallas_bounce.bounce_fused_pos(
+                tables, statics, cam_row, scene.background, seed2,
                 ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32), depth,
-                take.astype(jnp.int32), pi, pj, s_i, s_j,
+                pi, pj, si, sj, rem,
                 has_defocus=arrays.defocus_angle > 0, max_depth=max_depth,
-                n_inner=cadence, interpret=interpret)
-        k2 = k + take.astype(jnp.int32)
-        Er, Eg, Eb, Wr, Wg, Wb, CF = rec_planes
+                n_inner=cadence, width=width, sqrt_spp=sqrt_spp,
+                interpret=interpret)
+        Er, Eg, Eb, Wr, Wg, Wb, CF, STp = rec_planes
         Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
             scene, Wr, Wg, Wb, img_planes)
-        rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take)
-        state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0, k2, depth2)
+        rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, STp)
+        state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0, depth2,
+                  pi2, pj2, si2, sj2, rem2)
         return state2, (rec, jnp.sum(segc))
 
     def fwd_step(state, inputs):
@@ -448,16 +450,72 @@ def _window_impl_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
 
     outer = window // cadence
     refill_outer = -(-refill // cadence)
+    zero_l = jnp.zeros((n,), dtype)
     if use_pallas:
-        osteps = jnp.arange(outer) * cadence
-        do_refills = osteps < refill
+        osteps = jnp.arange(outer, dtype=jnp.int32) * cadence
+        refill_rem = jnp.clip(refill - osteps, 0, cadence)
         seeds = jax.random.randint(base_key, (outer,),
                                    jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        state, (rec_ys, segs) = jax.lax.scan(
-            fwd_step_fused, state, (seeds, do_refills))
-        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs) = rec_ys
-        STs = STs[:, 0]                      # starts only at inner step 0
+        seed2 = jnp.stack([seeds, refill_rem], axis=1)  # (outer, 2)
+        state, (rec_ys, segs) = jax.lax.scan(fwd_step_fused, state, seed2)
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs) = rec_ys   # STs (outer, cad, N)
+        k_after = quota - jnp.round(state[13]).astype(jnp.int32)
+
+        # reverse harvest with in-scan slot accumulation: the clamp
+        # recursion as in the queue schedule, plus the item-pointer
+        # RETREAT (exact inverse of the kernel's per-start advance) so
+        # each harvest knows its pixel slot g, accumulated straight into
+        # the carried (G, N) planes — no H materialization, no sort
+        fpix_f = first_pix.astype(dtype)
+        wf = jnp.float32(width)
+        sqf = jnp.float32(sqrt_spp)
+
+        def rev_outer(carry, xs):
+            Lr, Lg, Lb, pi, pj, si, sj, Br, Bg, Bb = carry
+            er, eg, eb, wr, wg, wb, cf, stp = xs
+            for j in reversed(range(cadence)):
+                raw_r = er[j] + wr[j] * Lr
+                raw_g = eg[j] + wg[j] * Lg
+                raw_b = eb[j] + wb[j] * Lb
+                s = raw_r + raw_g + raw_b
+                over = (cf[j] != 0) & (s > max_contribution)
+                scale = jnp.where(
+                    over, max_contribution / jnp.where(over, s, 1.0), 1.0)
+                Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
+                started = stp[j] != 0
+                sj_r = sj - 1.0
+                bor_s = sj_r < -0.5
+                sj_r = jnp.where(bor_s, sqf - 1.0, sj_r)
+                si_r = si - jnp.where(bor_s, 1.0, 0.0)
+                bor_i = si_r < -0.5
+                si_r = jnp.where(bor_i, sqf - 1.0, si_r)
+                ret_p = bor_s & bor_i
+                pi_r = pi - jnp.where(ret_p, 1.0, 0.0)
+                bor_p = pi_r < -0.5
+                pi_r = jnp.where(bor_p, wf - 1.0, pi_r)
+                pj_r = pj - jnp.where(bor_p, 1.0, 0.0)
+                pi = jnp.where(started, pi_r, pi)
+                pj = jnp.where(started, pj_r, pj)
+                si = jnp.where(started, si_r, si)
+                sj = jnp.where(started, sj_r, sj)
+                g = pj * wf + pi - fpix_f
+                for gi in range(G):
+                    m = started & (g == float(gi))
+                    Br = Br.at[gi].add(jnp.where(m, Lr, 0.0))
+                    Bg = Bg.at[gi].add(jnp.where(m, Lg, 0.0))
+                    Bb = Bb.at[gi].add(jnp.where(m, Lb, 0.0))
+                Lr = jnp.where(started, 0.0, Lr)
+                Lg = jnp.where(started, 0.0, Lg)
+                Lb = jnp.where(started, 0.0, Lb)
+            return (Lr, Lg, Lb, pi, pj, si, sj, Br, Bg, Bb), None
+
+        init = (zero_l, zero_l, zero_l,
+                state[9], state[10], state[11], state[12], Br, Bg, Bb)
+        carry, _ = jax.lax.scan(rev_outer, init,
+                                (Er, Eg, Eb, Wr, Wg, Wb, CF, STs),
+                                reverse=True)
+        Br, Bg, Bb = carry[7], carry[8], carry[9]
     else:
         steps = jnp.arange(window)
         do_refills = (steps < refill) & (steps % cadence == 0)
@@ -469,45 +527,44 @@ def _window_impl_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
         Wr, Wg, Wb = (comp(Ws, c) for c in range(3))
         CF = CFs.reshape(outer, cadence, n)
         STs = STs_w.reshape(outer, cadence, n)[:, 0]
-    k_after = state[8]
+        k_after = state[8]
 
-    # reverse harvest: identical clamp recursion, plus a per-lane start
-    # countdown so each harvest knows its item (= lane_base + k) and thus
-    # its pixel slot g without any recorded cursor
-    def rev_outer(carry, xs):
-        Lr, Lg, Lb, cnt = carry
-        er, eg, eb, wr, wg, wb, cf, started = xs
-        for j in reversed(range(cadence)):
-            raw_r = er[j] + wr[j] * Lr
-            raw_g = eg[j] + wg[j] * Lg
-            raw_b = eb[j] + wb[j] * Lb
-            s = raw_r + raw_g + raw_b
-            over = (cf[j] != 0) & (s > max_contribution)
-            scale = jnp.where(over,
-                              max_contribution / jnp.where(over, s, 1.0), 1.0)
-            Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
-        cnt2 = cnt - started.astype(jnp.int32)
-        g = jnp.where(started,
-                      (lane_base + cnt2) // n_strata - first_pix, -1)
-        hr = jnp.where(started, Lr, 0.0)
-        hg = jnp.where(started, Lg, 0.0)
-        hb = jnp.where(started, Lb, 0.0)
-        Lr = jnp.where(started, 0.0, Lr)
-        Lg = jnp.where(started, 0.0, Lg)
-        Lb = jnp.where(started, 0.0, Lb)
-        return (Lr, Lg, Lb, cnt2), (hr, hg, hb, g)
+        # reverse harvest: identical clamp recursion, plus a per-lane
+        # start countdown so each harvest knows its item (= lane_base + k)
+        # and thus its pixel slot g without any recorded cursor
+        def rev_outer(carry, xs):
+            Lr, Lg, Lb, cnt = carry
+            er, eg, eb, wr, wg, wb, cf, started = xs
+            for j in reversed(range(cadence)):
+                raw_r = er[j] + wr[j] * Lr
+                raw_g = eg[j] + wg[j] * Lg
+                raw_b = eb[j] + wb[j] * Lb
+                s = raw_r + raw_g + raw_b
+                over = (cf[j] != 0) & (s > max_contribution)
+                scale = jnp.where(
+                    over, max_contribution / jnp.where(over, s, 1.0), 1.0)
+                Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
+            cnt2 = cnt - started.astype(jnp.int32)
+            g = jnp.where(started,
+                          (lane_base + cnt2) // n_strata - first_pix, -1)
+            hr = jnp.where(started, Lr, 0.0)
+            hg = jnp.where(started, Lg, 0.0)
+            hb = jnp.where(started, Lb, 0.0)
+            Lr = jnp.where(started, 0.0, Lr)
+            Lg = jnp.where(started, 0.0, Lg)
+            Lb = jnp.where(started, 0.0, Lb)
+            return (Lr, Lg, Lb, cnt2), (hr, hg, hb, g)
 
-    zero_l = jnp.zeros((n,), dtype)
-    _, (Hr, Hg, Hb, Gm) = jax.lax.scan(
-        rev_outer, (zero_l, zero_l, zero_l, k_after),
-        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs), reverse=True)
+        _, (Hr, Hg, Hb, Gm) = jax.lax.scan(
+            rev_outer, (zero_l, zero_l, zero_l, k_after),
+            (Er, Eg, Eb, Wr, Wg, Wb, CF, STs), reverse=True)
 
-    Hr, Hg, Hb, Gm = (x[:refill_outer] for x in (Hr, Hg, Hb, Gm))
-    for gi in range(G):
-        m = Gm == gi
-        Br = Br.at[gi].add(jnp.sum(jnp.where(m, Hr, 0.0), axis=0))
-        Bg = Bg.at[gi].add(jnp.sum(jnp.where(m, Hg, 0.0), axis=0))
-        Bb = Bb.at[gi].add(jnp.sum(jnp.where(m, Hb, 0.0), axis=0))
+        Hr, Hg, Hb, Gm = (x[:refill_outer] for x in (Hr, Hg, Hb, Gm))
+        for gi in range(G):
+            m = Gm == gi
+            Br = Br.at[gi].add(jnp.sum(jnp.where(m, Hr, 0.0), axis=0))
+            Bg = Bg.at[gi].add(jnp.sum(jnp.where(m, Hg, 0.0), axis=0))
+            Bb = Bb.at[gi].add(jnp.sum(jnp.where(m, Hb, 0.0), axis=0))
 
     # k never exceeds quota, so sum(k) == total_items <=> all lanes done:
     # the packed cursor pair has the same meaning as the queue schedule's
@@ -532,6 +589,41 @@ def _run_window_pos(scene: T.Scene, arrays: camera_mod.CameraArrays,
         cadence=cadence, n_u=n_u, max_depth=max_depth,
         max_contribution=max_contribution, use_pallas=use_pallas,
         interpret=interpret)
+
+
+def _init_state_pos(n, dtype, use_pallas, quota_np, base_np, n_strata,
+                    width, k_np=None):
+    """Fresh (or resumed-at-k) positional lane state. Pallas layout (14
+    planes): (o xyz, d xyz, t, alive, depth, pi, pj, si, sj, rem) — the
+    item pointer decomposed into exact small-integer f32 planes the
+    in-kernel scheduler advances. XLA-fallback layout: the 10-plane
+    `_init_state` with the start count k at plane 8."""
+    k0 = np.zeros(n, np.int64) if k_np is None \
+        else np.asarray(k_np, np.int64)
+    if not use_pallas:
+        st = _init_state(n, dtype)
+        return st[:8] + (jnp.asarray(k0, jnp.int32), st[9])
+    item = base_np.astype(np.int64) + k0
+    pix = item // n_strata
+    strat = item % n_strata
+    sqrt_spp = int(round(np.sqrt(n_strata)))
+    z = lambda: jnp.zeros((n,), dtype)
+    f = lambda a: jnp.asarray(a, dtype)
+    return (z(), z(), z(), z(), z(), jnp.ones((n,), dtype), z(),
+            jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32),
+            f(pix % width), f(pix // width),
+            f(strat // sqrt_spp), f(strat % sqrt_spp),
+            f(np.maximum(quota_np.astype(np.int64) - k0, 0)))
+
+
+def _pos_state_k(state, quota_np, use_pallas):
+    """The per-lane start count k from either positional state layout
+    (for checkpointing)."""
+    if use_pallas:
+        rem = np.asarray(state[13])
+        return (quota_np.astype(np.int64)
+                - np.round(rem).astype(np.int64)).astype(np.int32)
+    return np.asarray(state[8])
 
 
 def _pos_film(Br, Bg, Bb, first_pix_np, npix, n_strata, h, w):
@@ -577,7 +669,7 @@ def _resolve_cadence(cadence: int, cam) -> int:
     return cam.regen_cadence if getattr(cam, "regen_cadence", 0) > 0 else 1
 
 
-def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, state, n,
+def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, n,
                               n_dev, dtype, *, axis, spec, rep, shard,
                               npix, n_strata, total_items, width, h,
                               sqrt_spp, window, refill, cadence, n_u,
@@ -595,6 +687,12 @@ def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, state, n,
     quota = to_dev(quota_np)
     lane_base = to_dev(base_np)
     first_pix = to_dev(fpix_np)
+    # positional state (built over the GLOBAL lane pool, then lane-sharded;
+    # layout depends on the backend — see _init_state_pos)
+    state = _init_state_pos(n_tot, dtype, use_pallas, quota_np, base_np,
+                            n_strata, width)
+    state = tuple(jax.device_put(s.reshape((n_dev, n) + s.shape[1:]), shard)
+                  for s in state)
     B = [jax.device_put(jnp.zeros((n_dev, G, n), dtype), shard)
          for _ in range(3)]
     # int32 cumulative per-shard segments: bounded by windows*window*n
@@ -745,7 +843,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     # "auto" matches render_regen's resolution
     if schedule == "positional":
         return _render_regen_sharded_pos(
-            scene, arrays, cam, mesh, key, state, n, n_dev, dtype,
+            scene, arrays, cam, mesh, key, n, n_dev, dtype,
             axis=axis, spec=spec, rep=rep, shard=shard, npix=npix,
             n_strata=n_strata, total_items=total_items, width=w, h=h,
             sqrt_spp=sqrt_spp, window=window, refill=refill,
@@ -1008,6 +1106,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         B = [jnp.zeros((G, n), dtype) for _ in range(3)]
         meta["schedule"] = np.bytes_(b"positional")
         start_i = 0
+        k_resume = None
         if checkpoint_path:
             loaded = checkpoint_mod.load(checkpoint_path)
             if loaded is not None \
@@ -1017,10 +1116,11 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                 B = [jnp.asarray(loaded[0][c], dtype=dtype) for c in range(3)]
                 extra = checkpoint_mod.load_extra(checkpoint_path)
                 if "k" in extra and extra["k"].shape == (n,):
-                    state = state[:8] + (jnp.asarray(extra["k"], jnp.int32),
-                                         state[9])
+                    k_resume = extra["k"]
                     start_i = int(loaded[1])
                     n_windows = int(loaded[2].get("windows", 0))
+        state = _init_state_pos(n, dtype, use_pallas, quota_np, base_np,
+                                n_strata, w, k_np=k_resume)
         bar.tick(start_i)
 
         def dispatch(wkey):
@@ -1040,7 +1140,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
             checkpoint_mod.save(
                 checkpoint_path,
                 np.stack([np.asarray(c) for c in B]), ni, meta,
-                extra={"k": np.asarray(state[8])})
+                extra={"k": _pos_state_k(state, quota_np, use_pallas)})
     else:
         # `n_lanes` tail rows absorb the final window's row-padding writes
         acc = jnp.zeros((total_items + n, 3), dtype)

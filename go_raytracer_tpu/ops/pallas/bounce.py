@@ -1325,3 +1325,260 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
                              has_defocus=has_defocus, max_depth=max_depth,
                              n_inner=n_inner, interpret=interpret)
 
+
+# --------------------------------------------------------------------------
+# Positional-schedule fused kernel: the refill decision moves INSIDE the
+# kernel and runs at EVERY inner bounce step.
+#
+# The queue schedule can only refill at the cadence boundary because its
+# lane->item rank is a global cumsum (XLA-side); the positional schedule's
+# take is the purely per-lane test `dead & rem > 0`, so the kernel can
+# restart a lane the very step its path dies — no dead-lane idle between
+# paths — and the start-opportunity supply per window becomes `refill`
+# STEPS instead of refill/cadence rows (the measured failure mode of the
+# XLA-side positional harvest, integrator/regen.py).
+#
+# Each lane carries its next-item pointer as four small-integer f32 planes
+# (pi, pj = pixel column/row; si, sj = stratum indices) plus a remaining
+# count; advancing to the next (pixel-major) item is a chain of exact
+# carry selects — no integer division anywhere. The reverse scan retreats
+# the same counters to recover each harvest's pixel slot.
+# --------------------------------------------------------------------------
+
+
+def _fused_pos_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
+                      prim_ref, light_ref, med_ref, blk_ref, cam_ref,
+                      bg_ref, seed_ref,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      time_ref, alive_ref, depth_ref,
+                      pi_ref, pj_ref, si_ref, sj_ref, rem_ref,
+                      *out_refs):
+    """Like `_fused_kernel` but with the positional scheduler fused in:
+    per inner step, dead lanes with remaining quota immediately start
+    their next item (camera ray-gen in-kernel as before), the item
+    pointer advances by exact f32 carry selects, and a per-step `started`
+    record plane is emitted for the reverse scan's harvest.
+
+    seed_ref is SMEM (2,): [step seed, refill steps remaining] — refills
+    happen at inner step j only while j < seed_ref[1], so the window's
+    refill cutoff lands mid-call on the last refill iteration."""
+    shape = ox_ref.shape
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + pl.program_id(0).astype(jnp.uint32)
+            * np.uint32(shape[0] * LANE))
+    seed = seed_ref[0].astype(jnp.uint32)
+    u01 = lambda slot: _u01(lane, seed, slot)
+
+    cam = cam_ref  # (1, 20): pixel00 du dv center dfu dfv recip_sqrt
+    recip = cam[0, 18]
+    bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
+    n_u_step = N_U + st["n_media"]
+    slots_per_step = N_U_RAYGEN + n_u_step
+    n_rec = 8 + (4 if st["has_image"] else 0)
+    refs = iter(out_refs)
+    rec_refs = [next(refs) for _ in range(n_rec)]  # (n_inner, R, 128)
+    seg_ref = next(refs)                           # (n_tiles, n_inner) SMEM
+    (sox_ref, soy_ref, soz_ref, sdx_ref, sdy_ref, sdz_ref, stm_ref,
+     salive_ref, sdepth_ref, spi_ref, spj_ref, ssi_ref, ssj_ref,
+     srem_ref) = [next(refs) for _ in range(14)]
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    tm = time_ref[:]
+    alive = alive_ref[:] > 0
+    depth = depth_ref[:]
+    pi, pj = pi_ref[:], pj_ref[:]
+    si, sj = si_ref[:], sj_ref[:]
+    rem = rem_ref[:]
+
+    for j in range(n_inner):
+        base = j * slots_per_step
+        # ---- per-step refill: dead & remaining & inside the refill span
+        may_refill = seed_ref[1] > j
+        take = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(alive), rem > 0.5),
+            may_refill)
+        rec_refs[7][j, :, :] = take.astype(jnp.int32)
+
+        # ---- camera ray generation (camera.go:256-270) for taken lanes
+        u_jx = u01(base + 0)
+        u_jy = u01(base + 1)
+        off_x = (si + u_jx) * recip - 0.5
+        off_y = (sj + u_jy) * recip - 0.5
+        px = pi + off_x
+        py = pj + off_y
+        sx = cam[0, 0] + px * cam[0, 3] + py * cam[0, 6]
+        sy = cam[0, 1] + px * cam[0, 4] + py * cam[0, 7]
+        sz = cam[0, 2] + px * cam[0, 5] + py * cam[0, 8]
+        if has_defocus:
+            u_da = u01(base + 2)
+            u_db = u01(base + 3)
+            r_d = jnp.sqrt(u_da)
+            phi_d = (2.0 * math.pi) * u_db
+            da = r_d * jnp.cos(phi_d)
+            db = r_d * jnp.sin(phi_d)
+            cx = cam[0, 9] + da * cam[0, 12] + db * cam[0, 15]
+            cy = cam[0, 10] + da * cam[0, 13] + db * cam[0, 16]
+            cz = cam[0, 11] + da * cam[0, 14] + db * cam[0, 17]
+        else:
+            cx = cam[0, 9] + jnp.zeros_like(sx)
+            cy = cam[0, 10] + jnp.zeros_like(sx)
+            cz = cam[0, 11] + jnp.zeros_like(sx)
+        u_t = u01(base + 4)
+        ox = jnp.where(take, cx, ox)
+        oy = jnp.where(take, cy, oy)
+        oz = jnp.where(take, cz, oz)
+        dx = jnp.where(take, sx - cx, dx)
+        dy = jnp.where(take, sy - cy, dy)
+        dz = jnp.where(take, sz - cz, dz)
+        tm = jnp.where(take, u_t, tm)
+        alive = jnp.logical_or(alive, take)
+        depth = jnp.where(take, 0, depth)
+
+        # ---- advance the item pointer (pixel-major: sj fast, then si,
+        # then pixel column pi, then pixel row pj) — exact f32 carries
+        tk = take.astype(jnp.float32)
+        sj_n = sj + 1.0
+        wrap_s = sj_n > (sqrt_spp - 0.5)
+        sj_n = jnp.where(wrap_s, 0.0, sj_n)
+        si_n = si + jnp.where(wrap_s, 1.0, 0.0)
+        wrap_i = si_n > (sqrt_spp - 0.5)
+        si_n = jnp.where(wrap_i, 0.0, si_n)
+        adv_p = jnp.logical_and(wrap_s, wrap_i)
+        pi_n = pi + jnp.where(adv_p, 1.0, 0.0)
+        wrap_p = pi_n > (width - 0.5)
+        pi_n = jnp.where(wrap_p, 0.0, pi_n)
+        pj_n = pj + jnp.where(wrap_p, 1.0, 0.0)
+        pi = jnp.where(take, pi_n, pi)
+        pj = jnp.where(take, pj_n, pj)
+        si = jnp.where(take, si_n, si)
+        sj = jnp.where(take, sj_n, sj)
+        rem = rem - tk
+
+        # ---- the bounce itself
+        u = [u01(base + N_U_RAYGEN + k) for k in range(n_u_step)]
+        (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+         alive_out, img_out) = \
+            _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
+                         ox, oy, oz, dx, dy, dz, tm, alive, u)
+        rec_refs[0][j, :, :] = er
+        rec_refs[1][j, :, :] = eg
+        rec_refs[2][j, :, :] = eb
+        rec_refs[3][j, :, :] = wr
+        rec_refs[4][j, :, :] = wg
+        rec_refs[5][j, :, :] = wb
+        rec_refs[6][j, :, :] = cf.astype(jnp.int32)
+        seg_ref[pl.program_id(0), j] = jnp.sum(alive.astype(jnp.int32))
+        if st["has_image"]:
+            for ref, val in zip(rec_refs[8:], img_out):
+                ref[j, :, :] = val
+        # depth cap (camera.go:293-296)
+        alive_out = jnp.logical_and(alive_out, depth < max_depth)
+        depth = jnp.where(alive, depth + 1, depth)
+        ox, oy, oz = nox, noy, noz
+        dx, dy, dz = ndx, ndy, ndz
+        alive = alive_out
+
+    sox_ref[:] = ox
+    soy_ref[:] = oy
+    soz_ref[:] = oz
+    sdx_ref[:] = dx
+    sdy_ref[:] = dy
+    sdz_ref[:] = dz
+    stm_ref[:] = tm
+    salive_ref[:] = alive.astype(jnp.int32)
+    sdepth_ref[:] = depth
+    spi_ref[:] = pi
+    spj_ref[:] = pj
+    ssi_ref[:] = si
+    ssj_ref[:] = sj
+    srem_ref[:] = rem
+
+
+@functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
+                                             "max_depth", "n_inner",
+                                             "width", "sqrt_spp",
+                                             "interpret"))
+def _bounce_fused_pos_jit(prims, lights, med, blk, cam_row, bg, seed2,
+                          ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                          pi, pj, si, sj, rem,
+                          st_key, has_defocus, max_depth, n_inner, width,
+                          sqrt_spp, interpret):
+    st = dict(st_key)
+    n = ox.shape[0]
+    assert n % (TILE_ROWS * LANE) == 0, n
+    rows = n // LANE
+    shape = (rows, LANE)
+    plane = lambda x: x.reshape(rows, LANE)
+    state_planes = [plane(x) for x in
+                    (ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                     pi, pj, si, sj, rem)]
+
+    kernel = functools.partial(_fused_pos_kernel, st, has_defocus,
+                               max_depth, n_inner, width, sqrt_spp)
+
+    grid = (rows // TILE_ROWS,)
+    n_tiles = rows // TILE_ROWS
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    rec_spec = pl.BlockSpec((n_inner, TILE_ROWS, LANE), lambda i: (0, i, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
+                 table_spec(blk),
+                 pl.BlockSpec((1, 20), lambda i: (0, 0)),
+                 pl.BlockSpec((1, 3), lambda i: (0, 0)),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [row_spec] * 14)
+    f32 = jnp.float32
+    n_img = 4 if st["has_image"] else 0
+    rec_dtypes = [f32] * 6 + [jnp.int32, jnp.int32] + [f32] * n_img
+    rec_shape = (n_inner, rows, LANE)
+    out_specs = ([rec_spec] * len(rec_dtypes)
+                 + [pl.BlockSpec((n_tiles, n_inner), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+                 + [row_spec] * 14)
+    out_shapes = ([jax.ShapeDtypeStruct(rec_shape, dt) for dt in rec_dtypes]
+                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), jnp.int32)]
+                  + [jax.ShapeDtypeStruct(shape, f32)] * 7
+                  + [jax.ShapeDtypeStruct(shape, jnp.int32)] * 2
+                  + [jax.ShapeDtypeStruct(shape, f32)] * 5)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(prims, lights, med, blk, cam_row, bg.reshape(1, 3).astype(f32),
+      seed2.reshape(2).astype(jnp.int32), *state_planes)
+
+    unp = lambda x: x.reshape(n)
+    n_rec = len(rec_dtypes)
+    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:8])
+    img_planes = tuple(x.reshape(n_inner, n) for x in outs[8:n_rec]) \
+        if n_img else None
+    seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
+    state_out = tuple(unp(x) for x in outs[n_rec + 1:])
+    return (rec_planes, img_planes, seg_counts) + state_out
+
+
+def bounce_fused_pos(scene_tables, statics, cam_row, bg, seed2,
+                     ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                     pi, pj, si, sj, rem,
+                     *, has_defocus, max_depth, n_inner=1, width=0,
+                     sqrt_spp=0, interpret=False):
+    """`n_inner` fused positional-regeneration steps in one kernel call
+    with PER-STEP refill (see `_fused_pos_kernel`). Returns
+    (rec_planes, img_planes, seg_counts, state...): rec_planes =
+    (Er, Eg, Eb, Wr, Wg, Wb, cf_i32, started_i32), each (n_inner, N);
+    state = (o xyz, d xyz, time, alive_i32, depth, pi, pj, si, sj, rem)."""
+    prims, lights, med, blk = scene_tables
+    return _bounce_fused_pos_jit(prims, lights, med, blk, cam_row, bg,
+                                 seed2, ox, oy, oz, dx, dy, dz, time,
+                                 alive_i32, depth, pi, pj, si, sj, rem,
+                                 st_key=_statics_key(statics),
+                                 has_defocus=has_defocus,
+                                 max_depth=max_depth, n_inner=n_inner,
+                                 width=width, sqrt_spp=sqrt_spp,
+                                 interpret=interpret)

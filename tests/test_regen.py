@@ -551,3 +551,46 @@ def test_sharded_positional_exact_bookkeeping():
     np.testing.assert_allclose(img[..., 2], 0.75, atol=1e-6)
     assert st["segments"] == 16 * 16 * 9
     assert st["devices"] == 8 and st["schedule"] == "positional"
+
+
+def test_positional_inkernel_scheduler_exact_coverage():
+    """The pallas fused kernel's IN-KERNEL per-step scheduler
+    (bounce_fused_pos, interpret mode): exact all-miss coverage at a
+    lane/item ratio that spans both quota-0 lanes and multi-pixel
+    blocks, and two cadences."""
+    scene = empty_scene(bg=(0.3, 0.5, 0.7))
+    for width, cadence in ((32, 4), (16, 3)):
+        cam = Camera(width=width, aspect_ratio=1.0, samples_per_pixel=9,
+                     max_depth=4)
+        cam.position((0, 0, 5), (0, 0, 0))
+        img, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                     n_lanes=4096, backend="pallas",
+                                     schedule="positional", cadence=cadence)
+        np.testing.assert_allclose(
+            img, np.broadcast_to([0.3, 0.5, 0.7], img.shape), atol=1e-6)
+        assert st["segments"] == width * width * 9
+
+
+def test_positional_inkernel_checkpoint_roundtrip(tmp_path):
+    """Checkpoint format is k-based regardless of backend: a pallas
+    positional render's checkpoint resumes into a fresh pallas render
+    bit-for-bit (the scheduler planes are rebuilt from k)."""
+    from go_raytracer_tpu.scenes import registry
+
+    scene, cam = registry.cornell_box()
+    cam.width = 16
+    cam.aspect_ratio = 1.0
+    cam.samples_per_pixel = 9
+    cam.max_depth = 3
+    key = jax.random.key(5)
+    kw = dict(n_lanes=4096, backend="pallas", schedule="positional",
+              cadence=2, refill_len=6, scene_name="cb")
+    img_ref, st_ref = regen.render_regen(scene, cam, key, **kw)
+    ck = str(tmp_path / "p.npz")
+    img_a, _ = regen.render_regen(scene, cam, key, checkpoint_path=ck,
+                                  checkpoint_every=1, **kw)
+    np.testing.assert_array_equal(img_a, img_ref)
+    img_b, st_b = regen.render_regen(scene, cam, key, checkpoint_path=ck,
+                                     **kw)
+    np.testing.assert_array_equal(img_b, img_ref)
+    assert st_b["segments"] == 0
