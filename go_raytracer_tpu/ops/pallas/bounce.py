@@ -65,11 +65,27 @@ INV_4PI = 1.0 / (4.0 * math.pi)
 P_KIND = 0
 # sphere: 1-3 c0, 4-6 cd, 7 r, 8 r^2
 # quad:   1-3 normal, 4 D, 5-7 cvw, 8-10 cwu, 11 qcvw, 12 qcwu
-# material (joined): 13 mat_kind, 14-16 albedo, 17 inv_scale,
-#   18-20 even, 21-23 odd, 24 tex_kind, 25 fuzz, 26 ref_idx,
-#   27 noise_scale, 28 noise_seed (uint32 bits in an f32 slot), 29 image_id
-P_COLS = 30
-N_MAT_COLS = 17   # cols 13..29 joined into every candidate row
+# material block joined at col MAT_BASE+, scene-specialized
+# (_mat_layout): solid/image albedo folds into the checker even/odd pair
+# (even == odd == color renders either parity to the color, texture.go:50-59
+# degenerates to texture.go:25-27), and mutually exclusive parameters share
+# one column — every dropped column removes one select per primitive row
+# per bounce from the closest-hit loop AND one carried register plane.
+MAT_BASE = 13
+
+
+def _mat_layout(st: dict):
+    """Ordered logical material columns for this scene's prim table/carry."""
+    cols = ["kind", "ev_r", "ev_g", "ev_b", "od_r", "od_g", "od_b"]
+    if st["has_noise"] or st["has_image"]:
+        cols.append("texk")      # TEX_* discriminator
+    if st["has_metal"] or st["has_dielectric"]:
+        cols.append("fr")        # metal fuzz | dielectric ref_idx (disjoint)
+    if st["has_checker"] or st["has_noise"]:
+        cols.append("scale")     # checker inv_scale | noise scale (disjoint)
+    if st["has_noise"] or st["has_image"]:
+        cols.append("seed_img")  # noise seed bits | image id (disjoint)
+    return cols
 P_BLOCK = 8        # rows per dynamic block in large sections
 UNROLL_ROWS = 32   # sections up to this many rows are fully unrolled
 
@@ -120,6 +136,7 @@ def scene_statics(scene: T.Scene) -> dict:
         has_isotropic=scene.has_isotropic or scene.has_media,
         has_noise=scene.has_noise,
         has_image=scene.has_image,
+        has_checker=scene.has_checker,
         # block-AABB culling in the big-section fori loop: only worth it
         # when the caller also sorts lanes into coherent tiles (regen's
         # reorder path) — on incoherent tiles the test is pure overhead
@@ -139,7 +156,7 @@ def _morton30(p, lo, ext):
 
 def pack_scene(scene: T.Scene, cull: bool = False):
     """Join primitives with their material/texture parameters into a dense
-    (P, P_COLS) row table (kind-sorted sections, each padded to a P_BLOCK
+    (P, MAT_BASE+len(_mat_layout)) row table (kind-sorted sections, padded to a P_BLOCK
     multiple with kind=-1 rows), lights into (L, L_COLS), media into
     (M, M_COLS), plus a block-AABB table for the kernel's cull.
 
@@ -152,23 +169,36 @@ def pack_scene(scene: T.Scene, cull: bool = False):
     to ship. Pure jnp — traced once inside jit."""
     mats = scene.materials
     tex = scene.textures
+    st = scene_statics(scene)
+    lay = _mat_layout(st)
+    p_cols = MAT_BASE + len(lay)
 
     def mat_cols(mat_id):
         tex_id = mats.tex_id[mat_id]
-        noise_seed = scene.perlin.seed[tex.noise_id[tex_id]]
-        return [
-            mats.kind[mat_id].astype(jnp.float32),
-            tex.color[tex_id][:, 0], tex.color[tex_id][:, 1], tex.color[tex_id][:, 2],
-            tex.inv_scale[tex_id],
-            tex.even[tex_id][:, 0], tex.even[tex_id][:, 1], tex.even[tex_id][:, 2],
-            tex.odd[tex_id][:, 0], tex.odd[tex_id][:, 1], tex.odd[tex_id][:, 2],
-            tex.kind[tex_id].astype(jnp.float32),
-            mats.fuzz[mat_id],
-            mats.ref_idx[mat_id],
-            tex.scale[tex_id],
-            jax.lax.bitcast_convert_type(noise_seed, jnp.float32),
-            tex.image_id[tex_id].astype(jnp.float32),
-        ]
+        kind_t = tex.kind[tex_id]
+        is_check = kind_t == T.TEX_CHECKER
+        ev = jnp.where(is_check[:, None], tex.even[tex_id], tex.color[tex_id])
+        od = jnp.where(is_check[:, None], tex.odd[tex_id], tex.color[tex_id])
+        vals = {
+            "kind": mats.kind[mat_id].astype(jnp.float32),
+            "ev_r": ev[:, 0], "ev_g": ev[:, 1], "ev_b": ev[:, 2],
+            "od_r": od[:, 0], "od_g": od[:, 1], "od_b": od[:, 2],
+        }
+        if "texk" in lay:
+            vals["texk"] = kind_t.astype(jnp.float32)
+        if "fr" in lay:
+            vals["fr"] = jnp.where(mats.kind[mat_id] == T.MAT_METAL,
+                                   mats.fuzz[mat_id], mats.ref_idx[mat_id])
+        if "scale" in lay:
+            vals["scale"] = jnp.where(is_check, tex.inv_scale[tex_id],
+                                      tex.scale[tex_id])
+        if "seed_img" in lay:
+            seed_f = jax.lax.bitcast_convert_type(
+                scene.perlin.seed[tex.noise_id[tex_id]], jnp.float32)
+            vals["seed_img"] = jnp.where(
+                kind_t == T.TEX_IMAGE,
+                tex.image_id[tex_id].astype(jnp.float32), seed_f)
+        return [vals[c] for c in lay]
 
     def sort_section(rows, lo, hi, active):
         """Morton-order the section's rows by AABB center (inactive rows
@@ -181,12 +211,12 @@ def pack_scene(scene: T.Scene, cull: bool = False):
         key = jnp.where(active, _morton30(center, blo, ext),
                         jnp.int32(2**30))
         sorted_ops = jax.lax.sort(
-            (key, *(rows[:, c] for c in range(P_COLS)),
+            (key, *(rows[:, c] for c in range(p_cols)),
              *(lo[:, i] for i in range(3)), *(hi[:, i] for i in range(3))),
             dimension=0, num_keys=1, is_stable=True)
-        rows = jnp.stack(sorted_ops[1:1 + P_COLS], axis=1)
-        lo = jnp.stack(sorted_ops[1 + P_COLS:4 + P_COLS], axis=1)
-        hi = jnp.stack(sorted_ops[4 + P_COLS:7 + P_COLS], axis=1)
+        rows = jnp.stack(sorted_ops[1:1 + p_cols], axis=1)
+        lo = jnp.stack(sorted_ops[1 + p_cols:4 + p_cols], axis=1)
+        hi = jnp.stack(sorted_ops[4 + p_cols:7 + p_cols], axis=1)
         return rows, lo, hi
 
     def pad_section(rows):
@@ -194,7 +224,7 @@ def pack_scene(scene: T.Scene, cull: bool = False):
         pad = (-n) % P_BLOCK
         if pad:
             rows = jnp.concatenate(
-                [rows, jnp.full((pad, P_COLS), -1.0, rows.dtype)])
+                [rows, jnp.full((pad, p_cols), -1.0, rows.dtype)])
         return rows
 
     def block_bounds(lo, hi, active):
@@ -222,7 +252,7 @@ def pack_scene(scene: T.Scene, cull: bool = False):
                 + [jnp.zeros_like(sp.radius)] * 4  # pad to col 13
                 + mat_cols(sp.mat_id))
         rows = jnp.where(sp.active[:, None], jnp.stack(cols, axis=1),
-                         jnp.full((sp.count, P_COLS), -1.0))
+                         jnp.full((sp.count, p_cols), -1.0))
         if cull:
             c1 = sp.center0 + sp.center_delta  # motion endpoint (objects.go:30-37)
             # abs: hollow-bubble spheres carry negative radii (their shell
@@ -247,7 +277,7 @@ def pack_scene(scene: T.Scene, cull: bool = False):
                 + [qcvw, qcwu]
                 + mat_cols(qd.mat_id))
         rows = jnp.where(qd.active[:, None], jnp.stack(cols, axis=1),
-                         jnp.full((qd.count, P_COLS), -1.0))
+                         jnp.full((qd.count, p_cols), -1.0))
         if cull:
             corners = jnp.stack([qd.q, qd.q + qd.u, qd.q + qd.v,
                                  qd.q + qd.u + qd.v])
@@ -265,7 +295,7 @@ def pack_scene(scene: T.Scene, cull: bool = False):
                 + [jnp.zeros_like(bx.lo[:, 0])] * 6  # pad to col 13
                 + mat_cols(bx.mat_id))
         rows = jnp.where(bx.active[:, None], jnp.stack(cols, axis=1),
-                         jnp.full((bx.count, P_COLS), -1.0))
+                         jnp.full((bx.count, p_cols), -1.0))
         if cull:
             rows, lo, hi = sort_section(rows, bx.lo, bx.hi, bx.active)
             blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
@@ -378,20 +408,41 @@ def _onb_transform(nx, ny, nz, lx, ly, lz):
 
 T_MIN = 1e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
 
-# winner-carry layout: t_best, n_h xyz, front_f, prim-kind, cand u/v,
-# then the joined material cols
-N_CARRY = 8 + N_MAT_COLS
+# winner-carry layout: t_best, outward-normal xyz (spheres defer it: the
+# oc vector rides the slots until one post-loop resolve), front flag, then
+# scene-gated slots (_carry_slots) and the joined material cols
+# (_mat_layout). The face-forward flip (hittable.go:27-34) happens ONCE
+# after the sections instead of per candidate row.
 KIND_SPHERE, KIND_QUAD, KIND_MEDIUM, KIND_BOX = 0.0, 1.0, 2.0, 3.0
 
 
-def _init_carry(like):
+def _carry_slots(st: dict):
+    """Scene-gated carry planes after (t_best, n xyz, front_f): the winner
+    kind + aux values exist only when something downstream consumes them
+    (sphere normal resolve / image-texture uv)."""
+    slots = []
+    if st["n_sph"] or st["has_image"]:
+        slots.append("wkind")
+        slots.append("auxA")   # sphere radius | quad alpha
+    if st["has_image"]:
+        slots.append("auxB")   # quad beta
+    return slots
+
+
+def _init_carry(like, st):
     INF = jnp.asarray(jnp.inf, jnp.float32)
-    zeros = [jnp.zeros_like(like) for _ in range(N_CARRY - 1)]
+    n = 5 + len(_carry_slots(st)) + len(_mat_layout(st))
+    zeros = [jnp.zeros_like(like) for _ in range(n - 1)]
     return (jnp.full(like.shape, INF, jnp.float32), *zeros)
 
 
-def _sphere_candidate(g, rays, t_best):
-    """Candidate hit vs one sphere row (objects.go:83-115)."""
+def _sphere_candidate(st, g, rays, t_best):
+    """Candidate hit vs one sphere row (objects.go:83-115). The outward
+    normal (p - c)/r is DEFERRED: the oc vector (already in registers)
+    rides the normal slots and the post-section resolve computes
+    (t*d - oc)/r once for the winning lane — ~10 fewer vector ops per
+    sphere row. front = sign test on (root*|d|^2 - h)*r, the expanded
+    d . outward."""
     ox, oy, oz, dx, dy, dz, tm, a_quad = rays
     cx = g(1) + tm * g(4) - ox
     cy = g(2) + tm * g(5) - oy
@@ -405,15 +456,11 @@ def _sphere_candidate(g, rays, t_best):
     sur1 = (T_MIN < r1) & (r1 < t_best)
     root = jnp.where(sur1, r1, r2)
     ok = (g(0) >= 0.0) & (disc >= 0.0) & (T_MIN < root) & (root < t_best)
-    # outward normal (objects.go:96-99)
-    nx = (ox + root * dx - (g(1) + tm * g(4))) / g(7)
-    ny = (oy + root * dy - (g(2) + tm * g(5))) / g(7)
-    nz = (oz + root * dz - (g(3) + tm * g(6))) / g(7)
-    zero = jnp.zeros_like(nx)
-    return ok, root, nx, ny, nz, zero, zero
+    front = (root * a_quad - h) * g(7) < 0.0
+    return ok, root, cx, cy, cz, front, g(7), None
 
 
-def _quad_candidate(g, rays, t_best):
+def _quad_candidate(st, g, rays, t_best):
     """Candidate hit vs one quad row (objects.go:167-206)."""
     ox, oy, oz, dx, dy, dz, tm, a_quad = rays
     dn = _dot3(dx, dy, dz, g(1), g(2), g(3))
@@ -427,12 +474,14 @@ def _quad_candidate(g, rays, t_best):
     ok = ((g(0) >= 0.0) & (jnp.abs(dn) >= 1e-8)
           & (T_MIN <= t_q) & (t_q <= t_best)
           & (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0))
-    # (alpha, beta) double as the quad's texture uv (objects.go:196-199)
-    return ok, t_q, g(1) + jnp.zeros_like(px), g(2) + jnp.zeros_like(px), \
-        g(3) + jnp.zeros_like(px), alpha, beta
+    # (alpha, beta) double as the quad's texture uv (objects.go:196-199);
+    # carried only when an image texture can read them
+    if st["has_image"]:
+        return ok, t_q, g(1), g(2), g(3), dn < 0.0, alpha, beta
+    return ok, t_q, g(1), g(2), g(3), dn < 0.0, None, None
 
 
-def _box_candidate(g, rays, t_best):
+def _box_candidate(st, g, rays, t_best):
     """Candidate hit vs one fused axis-aligned box row (row layout: 1-3
     lo, 4-6 hi). One slab test replaces the six quad tests of
     objects.go:208-240: t = slab entry when it clears T_MIN, else the
@@ -459,7 +508,8 @@ def _box_candidate(g, rays, t_best):
     entry = near >= T_MIN
     t_c = jnp.where(entry, near, far)
     ok = (g(0) >= 0.0) & (far > near) & (T_MIN <= t_c) & (t_c <= t_best)
-    # axis attaining the winning bound; outward sign flips entry/exit
+    # axis attaining the winning bound; outward sign flips entry/exit.
+    # entry hits face the ray (front), exit hits are interior back faces.
     bx_ = jnp.where(entry, lx, hx)
     by_ = jnp.where(entry, ly, hy)
     is_x = bx_ == t_c
@@ -473,34 +523,35 @@ def _box_candidate(g, rays, t_best):
     nx = jnp.where(is_x, sgn_x, zero)
     ny = jnp.where(is_y, sgn_y, zero)
     nz = jnp.where(is_z, sgn_z, zero)
-    return ok, t_c, nx, ny, nz, zero, zero
+    return ok, t_c, nx, ny, nz, entry, None, None
 
 
-def _update_carry(carry, cand, g, rays, kind_code):
-    """Fold a candidate into the winner carry (closest-hit min-reduce with
-    face-forward normals, hittable.go:27-34, 122-138)."""
-    dx, dy, dz = rays[3], rays[4], rays[5]
-    (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat) = carry
-    ok, t_c, cnx, cny, cnz, cu, cv = cand
+def _update_carry(st, carry, cand, g, kind_code):
+    """Fold a candidate into the winner carry (closest-hit min-reduce,
+    hittable.go:122-138). Normals stay OUTWARD (spheres: deferred oc);
+    the front flag comes from the candidate's cheap sign test and the
+    face-forward flip of hittable.go:27-34 is applied once post-loop."""
+    n_slots = len(_carry_slots(st))
+    (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+    slots = rest[:n_slots]
+    mat = rest[n_slots:]
+    ok, t_c, cnx, cny, cnz, c_front, auxA, auxB = cand
     ok = ok & (t_c < t_best)
-    c_front = _dot3(dx, dy, dz, cnx, cny, cnz) < 0.0
-    cnx = jnp.where(c_front, cnx, -cnx)
-    cny = jnp.where(c_front, cny, -cny)
-    cnz = jnp.where(c_front, cnz, -cnz)
     t_best = jnp.where(ok, t_c, t_best)
     n_hx = jnp.where(ok, cnx, n_hx)
     n_hy = jnp.where(ok, cny, n_hy)
     n_hz = jnp.where(ok, cnz, n_hz)
     front_f = jnp.where(ok, jnp.where(c_front, 1.0, 0.0), front_f)
-    w_kind = jnp.where(ok, kind_code, w_kind)
-    w_u = jnp.where(ok, cu, w_u)
-    w_v = jnp.where(ok, cv, w_v)
-    mat = [jnp.where(ok, g(13 + i), m) for i, m in enumerate(mat)]
-    return (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
+    new_slots = []
+    for name, v in zip(_carry_slots(st), slots):
+        cand_v = {"wkind": kind_code, "auxA": auxA, "auxB": auxB}[name]
+        new_slots.append(v if cand_v is None else jnp.where(ok, cand_v, v))
+    mat = [jnp.where(ok, g(MAT_BASE + i), m) for i, m in enumerate(mat)]
+    return (t_best, n_hx, n_hy, n_hz, front_f, *new_slots, *mat)
 
 
-def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
-                  rays, cull, carry):
+def _scan_section(st, prim_ref, blk_ref, base, n_real, candidate_fn,
+                  kind_code, rays, cull, carry):
     """Walk one kind-homogeneous section: fully unrolled when small, a
     fori_loop over P_BLOCK-row dynamic slices when large (keeps Mosaic's
     program size independent of the primitive count). With `cull`, each
@@ -513,8 +564,9 @@ def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
     if n_real <= UNROLL_ROWS:
         for p in range(n_real):
             g = lambda c, p=p: prim_ref[base + p, c]
-            carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
-                                  g, rays, kind_code)
+            carry = _update_carry(st, carry,
+                                  candidate_fn(st, g, rays, carry[0]),
+                                  g, kind_code)
         return carry
 
     n_blocks = (n_real + P_BLOCK - 1) // P_BLOCK
@@ -531,8 +583,9 @@ def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
         rows = prim_ref[pl.ds(base + b * P_BLOCK, P_BLOCK), :]
         for r in range(P_BLOCK):
             g = lambda c, r=r: rows[r, c]
-            carry = _update_carry(carry, candidate_fn(g, rays, carry[0]),
-                                  g, rays, kind_code)
+            carry = _update_carry(st, carry,
+                                  candidate_fn(st, g, rays, carry[0]),
+                                  g, kind_code)
         return carry
 
     if not cull:
@@ -561,7 +614,7 @@ def _scan_section(prim_ref, blk_ref, base, n_real, candidate_fn, kind_code,
     return jax.lax.fori_loop(0, n_blocks, body, carry)
 
 
-def _media_update(med_ref, n_media, rays, u, carry):
+def _media_update(st, med_ref, n_media, rays, u, carry):
     """Participating-media free flight (medium.go:27-58): analytic
     boundary spans (sphere roots / rotated-box slabs, trace.py semantics)
     clamped by the closest hit so far, exponential scattering distance.
@@ -620,7 +673,10 @@ def _media_update(med_ref, n_media, rays, u, carry):
         ok = ok & (hit_dist <= dist_inside)
         t_c = t0 + hit_dist / ray_len
 
-        (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat) = carry
+        n_slots = len(_carry_slots(st))
+        (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+        slots = list(rest[:n_slots])
+        mat = rest[n_slots:]
         win = ok & (t_c < t_best)
         one = jnp.ones_like(ox)
         zero = jnp.zeros_like(ox)
@@ -629,14 +685,17 @@ def _media_update(med_ref, n_media, rays, u, carry):
         n_hy = jnp.where(win, zero, n_hy)
         n_hz = jnp.where(win, zero, n_hz)
         front_f = jnp.where(win, one, front_f)  # medium.go:55
-        w_kind = jnp.where(win, KIND_MEDIUM, w_kind)
-        w_u = jnp.where(win, zero, w_u)
-        w_v = jnp.where(win, zero, w_v)
-        med_cols = [float(T.MAT_ISOTROPIC), g(17), g(18), g(19), 0.0,
-                    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, float(T.TEX_SOLID),
-                    0.0, 0.0, 0.0, 0.0, 0.0]
-        mat = [jnp.where(win, mc, mv) for mc, mv in zip(med_cols, mat)]
-        carry = (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v, *mat)
+        for si, name in enumerate(_carry_slots(st)):
+            if name == "wkind":
+                slots[si] = jnp.where(win, KIND_MEDIUM, slots[si])
+        med_vals = {"kind": float(T.MAT_ISOTROPIC),
+                    "ev_r": g(17), "ev_g": g(18), "ev_b": g(19),
+                    "od_r": g(17), "od_g": g(18), "od_b": g(19),
+                    "texk": float(T.TEX_SOLID), "fr": 0.0, "scale": 0.0,
+                    "seed_img": 0.0}
+        mat = [jnp.where(win, med_vals[name], mv)
+               for name, mv in zip(_mat_layout(st), mat)]
+        carry = (t_best, n_hx, n_hy, n_hz, front_f, *slots, *mat)
     return carry
 
 
@@ -651,20 +710,25 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     cull = st["cull"]
 
     # ---- closest hit over kind-homogeneous sections ---------------------
-    carry = _init_carry(ox)
-    carry = _scan_section(prim_ref, blk_ref, st["sph_base"], st["n_sph"],
-                          _sphere_candidate, KIND_SPHERE, rays, cull, carry)
-    carry = _scan_section(prim_ref, blk_ref, st["quad_base"], st["n_quad"],
-                          _quad_candidate, KIND_QUAD, rays, cull, carry)
-    carry = _scan_section(prim_ref, blk_ref, st["box_base"], st["n_box"],
-                          _box_candidate, KIND_BOX, rays, cull, carry)
+    carry = _init_carry(ox, st)
+    carry = _scan_section(st, prim_ref, blk_ref, st["sph_base"],
+                          st["n_sph"], _sphere_candidate, KIND_SPHERE,
+                          rays, cull, carry)
+    carry = _scan_section(st, prim_ref, blk_ref, st["quad_base"],
+                          st["n_quad"], _quad_candidate, KIND_QUAD,
+                          rays, cull, carry)
+    carry = _scan_section(st, prim_ref, blk_ref, st["box_base"],
+                          st["n_box"], _box_candidate, KIND_BOX,
+                          rays, cull, carry)
     if st["n_media"]:
-        carry = _media_update(med_ref, st["n_media"], rays, u, carry)
+        carry = _media_update(st, med_ref, st["n_media"], rays, u, carry)
 
-    (t_best, n_hx, n_hy, n_hz, front_f, w_kind, w_u, w_v,
-     m_kind, alb_r, alb_g, alb_b, m_invs,
-     m_ev_r, m_ev_g, m_ev_b, m_od_r, m_od_g, m_od_b,
-     m_texk, m_fuzz, m_ridx, m_nscale, m_nseed, m_imgid) = carry
+    n_slots = len(_carry_slots(st))
+    (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+    aux = dict(zip(_carry_slots(st), rest[:n_slots]))
+    mat = dict(zip(_mat_layout(st), rest[n_slots:]))
+    m_kind = mat["kind"]
+    m_texk = mat.get("texk")
 
     front = front_f > 0.5
     hit = jnp.isfinite(t_best)
@@ -673,25 +737,45 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     hy = oy + t_safe * dy
     hz = oz + t_safe * dz
 
-    # ---- texture value (texture.go:25-60, 88-125) -----------------------
-    is_checker = m_texk == float(T.TEX_CHECKER)
-    fx = jnp.floor(m_invs * hx).astype(jnp.int32)
-    fy = jnp.floor(m_invs * hy).astype(jnp.int32)
-    fz = jnp.floor(m_invs * hz).astype(jnp.int32)
-    even = jnp.remainder(fx + fy + fz, 2) == 0
-    tex_r = jnp.where(is_checker, jnp.where(even, m_ev_r, m_od_r), alb_r)
-    tex_g = jnp.where(is_checker, jnp.where(even, m_ev_g, m_od_g), alb_g)
-    tex_b = jnp.where(is_checker, jnp.where(even, m_ev_b, m_od_b), alb_b)
+    # resolve the deferred sphere normal: outward = (t*d - oc)/r once for
+    # the winning lane (objects.go:96-99)
+    if st["n_sph"]:
+        is_sph = aux["wkind"] == KIND_SPHERE
+        sph_ok = is_sph & hit
+        inv_r = 1.0 / jnp.where(sph_ok, aux["auxA"], 1.0)
+        n_hx = jnp.where(sph_ok, (t_safe * dx - n_hx) * inv_r, n_hx)
+        n_hy = jnp.where(sph_ok, (t_safe * dy - n_hy) * inv_r, n_hy)
+        n_hz = jnp.where(sph_ok, (t_safe * dz - n_hz) * inv_r, n_hz)
+    if st["has_image"]:
+        outx, outy, outz = n_hx, n_hy, n_hz   # pre-flip outward copies
+    # face-forward flip, once (hittable.go:27-34)
+    n_hx = jnp.where(front, n_hx, -n_hx)
+    n_hy = jnp.where(front, n_hy, -n_hy)
+    n_hz = jnp.where(front, n_hz, -n_hz)
+
+    # ---- texture value (texture.go:25-60, 88-125): solid/image albedo is
+    # packed as even == odd (pack_scene), so the checker select is
+    # unconditional and scenes without checker/noise skip the parity math
+    if "scale" in mat:
+        fx = jnp.floor(mat["scale"] * hx).astype(jnp.int32)
+        fy = jnp.floor(mat["scale"] * hy).astype(jnp.int32)
+        fz = jnp.floor(mat["scale"] * hz).astype(jnp.int32)
+        even = jnp.remainder(fx + fy + fz, 2) == 0
+        tex_r = jnp.where(even, mat["ev_r"], mat["od_r"])
+        tex_g = jnp.where(even, mat["ev_g"], mat["od_g"])
+        tex_b = jnp.where(even, mat["ev_b"], mat["od_b"])
+    else:
+        tex_r, tex_g, tex_b = mat["ev_r"], mat["ev_g"], mat["ev_b"]
 
     if st["has_noise"]:
-        seedp = jax.lax.bitcast_convert_type(m_nseed, jnp.uint32)
-        nz = perlin_mod.noise_planes(seedp, m_nscale * hx, m_nscale * hy,
-                                     m_nscale * hz)
+        seedp = jax.lax.bitcast_convert_type(mat["seed_img"], jnp.uint32)
+        nz = perlin_mod.noise_planes(seedp, mat["scale"] * hx,
+                                     mat["scale"] * hy, mat["scale"] * hz)
         tb = perlin_mod.turbulence_planes(seedp, hx, hy, hz)
         gray = jnp.where(
             m_texk == float(T.TEX_PERLIN), 0.5 * (1.0 + nz),    # texture.go:115
             jnp.where(m_texk == float(T.TEX_MARBLE),
-                      0.5 * (1.0 + jnp.sin(m_nscale * hz + 10.0 * tb)),  # :117
+                      0.5 * (1.0 + jnp.sin(mat["scale"] * hz + 10.0 * tb)),  # :117
                       tb))                                       # :119
         needs_noise = ((m_texk == float(T.TEX_PERLIN))
                        | (m_texk == float(T.TEX_MARBLE))
@@ -844,9 +928,9 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         zf = 1.0 - 2.0 * u[0]
         rf = jnp.sqrt(jnp.maximum(0.0, 1.0 - zf * zf))
         phif = 2.0 * math.pi * u[1]
-        rx = rx + m_fuzz * rf * jnp.cos(phif)
-        ry = ry + m_fuzz * rf * jnp.sin(phif)
-        rz = rz + m_fuzz * zf
+        rx = rx + mat["fr"] * rf * jnp.cos(phif)
+        ry = ry + mat["fr"] * rf * jnp.sin(phif)
+        rz = rz + mat["fr"] * zf
         wr = jnp.where(is_metal, tex_r, wr)
         wg = jnp.where(is_metal, tex_g, wg)
         wb = jnp.where(is_metal, tex_b, wb)
@@ -857,6 +941,7 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     if st["has_dielectric"]:
         # dielectric (materials.go:94-130)
         udx, udy, udz = _normalize3(dx, dy, dz)
+        m_ridx = mat["fr"]
         ri = jnp.where(front, 1.0 / m_ridx, m_ridx)
         cos_d = jnp.minimum(-_dot3(udx, udy, udz, n_hx, n_hy, n_hz), 1.0)
         r0 = ((1.0 - m_ridx) / (1.0 + m_ridx)) ** 2
@@ -904,20 +989,17 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         # Image textures are the one thing the kernel cannot do (per-ray
         # texel gathers); emit (uv, image id, diffuse pdf-ratio) so the XLA
         # caller can patch W = texel * ratio on the flagged lanes.
-        # sphere uv from the outward normal (objects.go:44-50); quad uv is
-        # the carried (alpha, beta)
-        outx = jnp.where(front, n_hx, -n_hx)
-        outy = jnp.where(front, n_hy, -n_hy)
-        outz = jnp.where(front, n_hz, -n_hz)
+        # sphere uv from the (pre-flip) outward normal (objects.go:44-50);
+        # quad uv is the carried (alpha, beta)
         theta = _acos(jnp.clip(-outy, -1.0, 1.0))
         phi = _atan2(-outz, outx) + math.pi
         sph_u = phi * (0.5 * INV_PI)
         sph_v = theta * INV_PI
-        is_sph = w_kind == KIND_SPHERE
-        uu = jnp.where(is_sph, sph_u, w_u)
-        vv = jnp.where(is_sph, sph_v, w_v)
+        is_sph_uv = aux["wkind"] == KIND_SPHERE
+        uu = jnp.where(is_sph_uv, sph_u, aux["auxA"])
+        vv = jnp.where(is_sph_uv, sph_v, aux["auxB"])
         is_img = diffuse & (m_texk == float(T.TEX_IMAGE))
-        img_id = jnp.where(is_img, m_imgid, -1.0)
+        img_id = jnp.where(is_img, mat["seed_img"], -1.0)
         img_out = (ratio, uu, vv, img_id)
     else:
         img_out = (zero, zero, zero, zero)

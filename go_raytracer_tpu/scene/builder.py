@@ -535,6 +535,7 @@ class SceneBuilder:
             has_media=n_md > 0,
             has_noise=any(r["kind"] in (T.TEX_PERLIN, T.TEX_MARBLE, T.TEX_TURBULENT)
                           for r in tx),
+            has_checker=any(r["kind"] == T.TEX_CHECKER for r in tx),
             has_image=any(r["kind"] == T.TEX_IMAGE for r in tx),
             has_metal=any(r["kind"] == T.MAT_METAL for r in mt),
             has_dielectric=any(r["kind"] == T.MAT_DIELECTRIC for r in mt),

@@ -280,6 +280,7 @@ class Scene:
     has_triangles: bool = struct.field(pytree_node=False, default=False)
     has_media: bool = struct.field(pytree_node=False, default=False)
     has_noise: bool = struct.field(pytree_node=False, default=False)
+    has_checker: bool = struct.field(pytree_node=False, default=False)
     has_image: bool = struct.field(pytree_node=False, default=False)
     # material-kind flags: let jit drop whole shading branches per scene
     has_metal: bool = struct.field(pytree_node=False, default=True)
