@@ -20,6 +20,8 @@ def main(argv=None):
     ap.add_argument("--lanes", type=int, default=1 << 17)
     ap.add_argument("--cadence", type=int, default=0,
                     help="0 = each scene's tuned regen_cadence hint")
+    ap.add_argument("--schedule", default="auto",
+                    help="regen schedule: auto | queue | positional")
     ap.add_argument("--out", default="BENCH_SCENES.json")
     args = ap.parse_args(argv)
 
@@ -43,10 +45,12 @@ def main(argv=None):
         try:
             # first run pays the remote compile; the second is steady state
             regen.render_regen(scene, cam, jax.random.key(0),
-                               n_lanes=args.lanes, cadence=args.cadence)
+                               n_lanes=args.lanes, cadence=args.cadence,
+                               schedule=args.schedule)
             _, st = regen.render_regen(scene, cam, jax.random.key(0),
                                        n_lanes=args.lanes,
-                                       cadence=args.cadence)
+                                       cadence=args.cadence,
+                                       schedule=args.schedule)
             rate = st["rays_per_s"]
             row = {
                 "scene": name, "S": s, "width": cam.width,
