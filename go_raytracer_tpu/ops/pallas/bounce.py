@@ -481,7 +481,7 @@ def _quad_candidate(st, g, rays, t_best):
     return ok, t_q, g(1), g(2), g(3), dn < 0.0, None, None
 
 
-def _box_candidate(st, g, rays, t_best):
+def _box_candidate(inv_d, st, g, rays, t_best):
     """Candidate hit vs one fused axis-aligned box row (row layout: 1-3
     lo, 4-6 hi). One slab test replaces the six quad tests of
     objects.go:208-240: t = slab entry when it clears T_MIN, else the
@@ -489,11 +489,7 @@ def _box_candidate(st, g, rays, t_best):
     slab, sign −d for entry / +d for exit. uv is zeros — fusion is gated
     on uv-independent textures (scene/builder._box_fusable)."""
     ox, oy, oz, dx, dy, dz, tm, a_quad = rays
-    tiny = 1e-30
-    sdx = jnp.where(jnp.abs(dx) < tiny, jnp.where(dx < 0, -tiny, tiny), dx)
-    sdy = jnp.where(jnp.abs(dy) < tiny, jnp.where(dy < 0, -tiny, tiny), dy)
-    sdz = jnp.where(jnp.abs(dz) < tiny, jnp.where(dz < 0, -tiny, tiny), dz)
-    ix_, iy_, iz_ = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+    ix_, iy_, iz_ = inv_d   # hoisted safe reciprocal (once per bounce)
     tx0 = (g(1) - ox) * ix_
     tx1 = (g(4) - ox) * ix_
     ty0 = (g(2) - oy) * iy_
@@ -717,9 +713,19 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     carry = _scan_section(st, prim_ref, blk_ref, st["quad_base"],
                           st["n_quad"], _quad_candidate, KIND_QUAD,
                           rays, cull, carry)
-    carry = _scan_section(st, prim_ref, blk_ref, st["box_base"],
-                          st["n_box"], _box_candidate, KIND_BOX,
-                          rays, cull, carry)
+    if st["n_box"]:
+        tiny = 1e-30
+        sdx = jnp.where(jnp.abs(dx) < tiny,
+                        jnp.where(dx < 0, -tiny, tiny), dx)
+        sdy = jnp.where(jnp.abs(dy) < tiny,
+                        jnp.where(dy < 0, -tiny, tiny), dy)
+        sdz = jnp.where(jnp.abs(dz) < tiny,
+                        jnp.where(dz < 0, -tiny, tiny), dz)
+        box_cand = functools.partial(_box_candidate,
+                                     (1.0 / sdx, 1.0 / sdy, 1.0 / sdz))
+        carry = _scan_section(st, prim_ref, blk_ref, st["box_base"],
+                              st["n_box"], box_cand, KIND_BOX,
+                              rays, cull, carry)
     if st["n_media"]:
         carry = _media_update(st, med_ref, st["n_media"], rays, u, carry)
 
