@@ -204,3 +204,48 @@ def test_pallas_radiance_path_matches_xla():
     np.testing.assert_allclose(a.mean(0), b.mean(0), rtol=2e-2, atol=2e-3)
     assert abs(int(st1["segments"]) - int(st2["segments"])) <= \
         0.01 * int(st1["segments"]) + 8
+
+
+def test_pallas_bounce_kitchen_sink_matches_xla():
+    """Every feature at once — all five materials, checker + all three
+    noise variants + image + solid textures, two media, fused boxes, a
+    motion sphere — so the scene-specialized shared material columns
+    (bounce._mat_layout: fuzz|ref_idx, inv_scale|noise scale,
+    seed|image id, albedo folded into even/odd) are exercised against
+    each other in one table."""
+    b = SceneBuilder(background=(0.02, 0.03, 0.05))
+    img = np.zeros((8, 8, 3), np.float32)
+    img[::2, ::2] = (1.0, 0.4, 0.2)
+    mats = [
+        b.lambertian((0.6, 0.5, 0.4)),
+        b.lambertian(tex=b.checker(55.0, (0.1, 0.6, 0.2), (0.9, 0.8, 0.1))),
+        b.lambertian(tex=b.noise_texture(0.02, "perlin", seed=5)),
+        b.lambertian(tex=b.noise_texture(0.02, "marble", seed=6)),
+        b.lambertian(tex=b.noise_texture(0.02, "turbulent", seed=7)),
+        b.lambertian(tex=b.image_texture(img)),
+        b.metal((0.9, 0.7, 0.6), 0.3),
+        b.dielectric(1.7),
+    ]
+    light = b.diffuse_light((9, 9, 9))
+    b.quad((555, 0, 0), (0, 555, 0), (0, 0, 555), mats[1])
+    b.quad((0, 0, 555), (555, 0, 0), (0, 555, 0), mats[2])
+    b.sphere((190, 90, 190), 80, mats[3])
+    b.sphere((400, 90, 120), 70, mats[6], center2=(400, 130, 120))
+    b.sphere((120, 420, 300), 60, mats[7])
+    b.sphere((300, 300, 300), 50, mats[5])
+    b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), mats[4])
+    b.box((80, 0, 80), (200, 110, 200), mats[0])          # fused
+    b.box((320, 0, 330), (430, 160, 440), mats[6])        # fused, metal
+    lq = b.quad((343, 550, 332), (-130, 0, 0), (0, 0, -105), light)
+    b.add_light(lq)
+    b.constant_medium_sphere((450, 60, 450), 55, 0.01, albedo=(0.9, 0.9, 0.9))
+    b.constant_medium_box((30, 0, 380), (140, 120, 500), 0.008,
+                          albedo=(0.6, 0.7, 0.9), rotate_y_deg=12.0,
+                          translate=(10, 0, -5))
+    s = b.build()
+    assert s.has_boxes and s.boxes.count == 2
+    assert pb.supported(s)
+    # slightly wider tolerance than the per-feature tests: grazing box
+    # edges can pick a different face axis between the XLA divide and the
+    # kernel's multiply-by-reciprocal slab forms (few lanes, ~1e-2)
+    _compare_bounce(s, n=1024, seed=11, rtol=2e-2, atol=2e-2)
