@@ -34,12 +34,14 @@ def main():
     # bounces per pallas call, refill rows/4 in the harvest sort)
     cadence = int(os.environ.get("GRT_CADENCE", "4"))
     refill = int(os.environ.get("GRT_REFILL", "0"))
+    schedule = os.environ.get("GRT_SCHEDULE", "auto")
 
     # fastest path: ray-regeneration + pallas bounce; fall back to the plain
     # wavefront renderer (pallas, then xla) on any issue.
     mode_used = "regen+pallas"
     try:
-        kw = dict(n_lanes=1 << 17, cadence=cadence, refill_len=refill)
+        kw = dict(n_lanes=1 << 17, cadence=cadence, refill_len=refill,
+                  schedule=schedule)
         regen.render_regen(scene, cam, key, **kw)  # warm/compile
         t0 = time.time()
         _, stats = regen.render_regen(scene, cam, key, **kw)
