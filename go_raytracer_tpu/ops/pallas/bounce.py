@@ -443,7 +443,7 @@ def _sphere_candidate(st, g, rays, t_best):
     (t*d - oc)/r once for the winning lane — ~10 fewer vector ops per
     sphere row. front = sign test on (root*|d|^2 - h)*r, the expanded
     d . outward."""
-    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
     cx = g(1) + tm * g(4) - ox
     cy = g(2) + tm * g(5) - oy
     cz = g(3) + tm * g(6) - oz
@@ -451,8 +451,8 @@ def _sphere_candidate(st, g, rays, t_best):
     c = _dot3(cx, cy, cz, cx, cy, cz) - g(8)
     disc = h * h - a_quad * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    r1 = (h - sq) / a_quad
-    r2 = (h + sq) / a_quad
+    r1 = (h - sq) * inv_a     # hoisted 1/|d|^2: two divides -> muls
+    r2 = (h + sq) * inv_a
     sur1 = (T_MIN < r1) & (r1 < t_best)
     root = jnp.where(sur1, r1, r2)
     ok = (g(0) >= 0.0) & (disc >= 0.0) & (T_MIN < root) & (root < t_best)
@@ -462,7 +462,7 @@ def _sphere_candidate(st, g, rays, t_best):
 
 def _quad_candidate(st, g, rays, t_best):
     """Candidate hit vs one quad row (objects.go:167-206)."""
-    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
     dn = _dot3(dx, dy, dz, g(1), g(2), g(3))
     on = _dot3(ox, oy, oz, g(1), g(2), g(3))
     t_q = (g(4) - on) / dn
@@ -488,7 +488,7 @@ def _box_candidate(inv_d, st, g, rays, t_best):
     exit (ray inside); the outward normal is the axis of the bounding
     slab, sign −d for entry / +d for exit. uv is zeros — fusion is gated
     on uv-independent textures (scene/builder._box_fusable)."""
-    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
     ix_, iy_, iz_ = inv_d   # hoisted safe reciprocal (once per bounce)
     tx0 = (g(1) - ox) * ix_
     tx1 = (g(4) - ox) * ix_
@@ -616,8 +616,9 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
     clamped by the closest hit so far, exponential scattering distance.
     A medium winner presents the reference's fixed record: normal (1,0,0),
     frontFace=true, isotropic material (medium.go:54-56)."""
-    ox, oy, oz, dx, dy, dz, tm, a_quad = rays
+    ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
     ray_len = jnp.sqrt(a_quad)
+    inv_len = 1.0 / ray_len
     for m in range(n_media):
         g = lambda c: med_ref[m, c]
         is_box = g(0) > 0.5
@@ -629,8 +630,8 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
         c = _dot3(cx, cy, cz, cx, cy, cz) - g(4) * g(4)
         disc = h * h - a_quad * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        near_s = (h - sq) / a_quad
-        far_s = (h + sq) / a_quad
+        near_s = (h - sq) * inv_a
+        far_s = (h + sq) * inv_a
         ok_s = disc >= 0.0
         # box span in object space (transformation.go:25-34, 79-85)
         cth, sth = g(5), g(6)
@@ -667,7 +668,7 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
         dist_inside = (t1 - t0) * ray_len
         hit_dist = g(16) * jnp.log(u[N_U + m])
         ok = ok & (hit_dist <= dist_inside)
-        t_c = t0 + hit_dist / ray_len
+        t_c = t0 + hit_dist * inv_len
 
         n_slots = len(_carry_slots(st))
         (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
@@ -702,7 +703,7 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     work. `u` is a list of N_U + n_media uniform planes. Returns value
     planes (E, W, cf, new origin, new direction, alive')."""
     a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
-    rays = (ox, oy, oz, dx, dy, dz, tm, a_quad)
+    rays = (ox, oy, oz, dx, dy, dz, tm, a_quad, 1.0 / a_quad)
     cull = st["cull"]
 
     # ---- closest hit over kind-homogeneous sections ---------------------
