@@ -249,3 +249,20 @@ def test_pallas_bounce_kitchen_sink_matches_xla():
     # edges can pick a different face axis between the XLA divide and the
     # kernel's multiply-by-reciprocal slab forms (few lanes, ~1e-2)
     _compare_bounce(s, n=1024, seed=11, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_bounce_hollow_bubble_sphere_matches_xla():
+    """Negative-radius bubble (hollow glass, RTiOW 11.5): the deferred
+    sphere-normal resolve divides by the SIGNED radius, so the bubble's
+    inward-facing outward normal and front flag must survive the slim
+    carry (sign test (root*|d|^2 - h)*r)."""
+    b = SceneBuilder(background=(0.3, 0.4, 0.5))
+    glass = b.dielectric(1.5)
+    white = b.lambertian((0.7, 0.7, 0.7))
+    b.sphere((0, 0, -3), 1.0, glass)
+    b.sphere((0, 0, -3), -0.85, glass)     # bubble shell
+    b.sphere((0, -101, 0), 100.0, white)
+    b.add_light(b.quad((-1, 4, -4), (2, 0, 0), (0, 0, 2),
+                       b.diffuse_light((6, 6, 6))))
+    s = b.build()
+    _compare_bounce(s, n=512, seed=2, origin_rng=(-4, 4), dir_scale=3)
