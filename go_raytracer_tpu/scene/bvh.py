@@ -50,11 +50,77 @@ def tri_bounds(v: np.ndarray) -> tuple:
     return lo, hi
 
 
-def build(v: np.ndarray, leaf_size: int = 8) -> FlatBVH:
-    """Build the flat BVH for triangle vertices v (T, 3, 3)."""
+def _sah_partition(span, lo, hi, centers, span_lo, span_hi,
+                   leaf_size, n_bins=16):
+    """Binned surface-area-heuristic split (Wald 2007): pick the
+    (axis, bin boundary) minimizing NL*SA(L) + NR*SA(R). Returns
+    (left, right) index arrays, or None when no split beats keeping the
+    span together (degenerate extents / all centers in one bin) — the
+    caller falls back to the reference's median split. The tree SHAPE is
+    a traversal-performance choice only: closest-hit results are
+    order-independent, so hit semantics match the reference either way."""
+    best_cost = np.inf
+    best = None
+    n = len(span)
+    c = centers[span]
+    for axis in range(3):
+        ext = span_hi[axis] - span_lo[axis]
+        if ext <= 1e-12:
+            continue
+        b = np.clip(((c[:, axis] - span_lo[axis]) / ext * n_bins)
+                    .astype(np.int64), 0, n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        # per-bin AABBs (empty bins stay +inf/-inf and vanish in min/max)
+        blo = np.full((n_bins, 3), np.inf)
+        bhi = np.full((n_bins, 3), -np.inf)
+        np.minimum.at(blo, b, lo[span])
+        np.maximum.at(bhi, b, hi[span])
+        # prefix/suffix sweep
+        plo = np.minimum.accumulate(blo, axis=0)
+        phi = np.maximum.accumulate(bhi, axis=0)
+        slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+        shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+        nl = np.cumsum(counts)[:-1]
+        nr = n - nl
+
+        def area(lo_, hi_):
+            d = np.maximum(hi_ - lo_, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        cost = nl * area(plo[:-1], phi[:-1]) + nr * area(slo[1:], shi[1:])
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        k = int(np.argmin(cost))
+        if cost[k] < best_cost:
+            best_cost = cost[k]
+            best = (axis, ext, k)
+    if best is None:
+        return None
+    axis, ext, k = best
+    b = np.clip(((c[:, axis] - span_lo[axis]) / ext * n_bins)
+                .astype(np.int64), 0, n_bins - 1)
+    left = span[b <= k]
+    right = span[b > k]
+    if len(left) == 0 or len(right) == 0:
+        return None
+    return left, right
+
+
+def build(v: np.ndarray, leaf_size: int = 8,
+          policy: str = "median") -> FlatBVH:
+    """Build the flat BVH for triangle vertices v (T, 3, 3).
+
+    policy="median" (default) reproduces the reference's longest-axis
+    median split (bvh.go:35-61); "sah" is the binned surface-area
+    heuristic. MEASURED on the modelExample statue (65k tris, incoherent
+    rays): SAH cuts PER-RAY node visits 12% (26.8 -> 23.5 mean), but the
+    device kernel walks once per 128-ray row and the row's UNION of
+    visited nodes shrinks only 3% (1254 -> 1214 after the Morton sort) —
+    inside noise of the walk's fixed costs, so the reference policy
+    stays the default."""
     t_count = v.shape[0]
     lo, hi = tri_bounds(v)
     centers_min = lo  # reference sorts by bbox.Min (boxCompare)
+    centers = 0.5 * (lo + hi)
 
     idx = np.arange(t_count)
     nodes = []  # rows: [min(3), max(3), first, count]
@@ -71,12 +137,19 @@ def build(v: np.ndarray, leaf_size: int = 8) -> FlatBVH:
             nodes[node_id][2] = start
             nodes[node_id][3] = len(span)
         else:
-            axis = int(np.argmax(span_hi - span_lo))
-            keys = np.stack([centers_min[span, axis], hi[span, axis]], axis=1)
-            srt = span[np.lexsort((keys[:, 1], keys[:, 0]))]
-            mid = len(srt) // 2
-            emit(srt[:mid])
-            emit(srt[mid:])
+            halves = None
+            if policy == "sah":
+                halves = _sah_partition(span, lo, hi, centers,
+                                        span_lo, span_hi, leaf_size)
+            if halves is None:
+                axis = int(np.argmax(span_hi - span_lo))
+                keys = np.stack([centers_min[span, axis], hi[span, axis]],
+                                axis=1)
+                srt = span[np.lexsort((keys[:, 1], keys[:, 0]))]
+                mid = len(srt) // 2
+                halves = (srt[:mid], srt[mid:])
+            emit(halves[0])
+            emit(halves[1])
         return node_id
 
     import sys

@@ -179,3 +179,64 @@ def test_builder_threshold_controls_bvh():
     b.triangle([(-1, -1, -5), (1, -1, -5), (0, 1, -5)], m)
     s = b.build()
     assert not s.has_tri_bvh  # tiny scene stays dense
+
+
+def test_sah_policy_same_hits_as_median():
+    """Tree shape is a traversal-performance choice: the SAH build must
+    return the same closest hits as the reference median build."""
+    import numpy as np
+    from go_raytracer_tpu.scene import bvh as bvh_mod
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    c = rng.uniform(-5, 5, (n, 3))
+    v = c[:, None, :] + rng.normal(0, 0.3, (n, 3, 3))
+    fa = bvh_mod.build(v, leaf_size=8, policy="median")
+    fb = bvh_mod.build(v, leaf_size=8, policy="sah")
+    assert sorted(fa.order[fa.order >= 0].tolist()) == \
+        sorted(fb.order[fb.order >= 0].tolist())
+
+    def closest(fbvh, o, d):
+        inv = 1.0 / np.where(np.abs(d) < 1e-30,
+                             np.where(d < 0, -1e-30, 1e-30), d)
+        t_best = np.full(o.shape[0], np.inf)
+        m = fbvh.n_nodes
+        node = np.zeros(o.shape[0], np.int32)
+        while (node < m).any():
+            live = node < m
+            nc = np.minimum(node, m - 1)
+            t0 = (fbvh.node_min[nc] - o) * inv
+            t1 = (fbvh.node_max[nc] - o) * inv
+            near = np.minimum(t0, t1).max(-1)
+            far = np.maximum(t0, t1).min(-1)
+            hit = live & (np.maximum(near, 1e-3) < np.minimum(far, t_best))
+            isleaf = fbvh.count[nc] > 0
+            ids = np.where(hit & isleaf)[0]
+            for k in range(8):
+                tid = fbvh.order[np.clip(fbvh.first[nc[ids]] + k, 0,
+                                         len(fbvh.order) - 1)]
+                ok = (tid >= 0) & (k < fbvh.count[nc[ids]])
+                tt = np.clip(tid, 0, n - 1)
+                vv = v[tt]
+                e0 = vv[:, 1] - vv[:, 0]
+                e1 = vv[:, 2] - vv[:, 0]
+                pv = np.cross(d[ids], e1)
+                det = (e0 * pv).sum(-1)
+                ivd = 1 / np.where(np.abs(det) < 1e-30, 1e-30, det)
+                tv = o[ids] - vv[:, 0]
+                u = (tv * pv).sum(-1) * ivd
+                qv = np.cross(tv, e0)
+                w = (d[ids] * qv).sum(-1) * ivd
+                t = (e1 * qv).sum(-1) * ivd
+                good = ok & (np.abs(det) >= 1e-8) & (u >= 0) & (u <= 1) \
+                    & (w >= 0) & (u + w <= 1) & (t >= 1e-3) & (t < t_best[ids])
+                t_best[ids] = np.where(good, t, t_best[ids])
+            node = np.where(live, np.where(hit & ~isleaf, nc + 1,
+                                           fbvh.skip[nc]), node)
+        return t_best
+
+    o = rng.uniform(-8, 8, (256, 3))
+    d = rng.normal(size=(256, 3))
+    ta = closest(fa, o, d)
+    tb = closest(fb, o, d)
+    np.testing.assert_allclose(ta, tb, rtol=1e-6)
