@@ -241,13 +241,23 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
 
     interpret = jax.default_backend() != "tpu"
     if bvh.nodes8 is not None and os.environ.get("GRT_TRAVERSE8", "1") != "0":
-        # sublane-batched BVH8 walk (ops/pallas/traverse8.py): 8 child
-        # boxes per vector op, one walk per 128-lane row — the default
-        from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
+        # sublane-batched BVH8 walk: 8 child boxes per vector op, one walk
+        # per 128-lane row — the default. Node-entry encoding follows the
+        # build-time layout: "mask" = the compressed-visit state machine
+        # (ops/pallas/traverse8m.py), "push" = per-child scalar pushes
+        # (ops/pallas/traverse8.py).
+        if getattr(bvh, "bvh8_layout", "push") == "mask":
+            from go_raytracer_tpu.ops.pallas import traverse8m as ptrav8m
 
-        t_s, i_s = ptrav8.bvh8_closest(bvh.nodes8, bvh.tris8, o_s, d_s,
-                                       cap_s, dense_nodes=bvh.bvh8_dense,
-                                       interpret=interpret)
+            t_s, i_s = ptrav8m.bvh8m_closest(
+                bvh.nodes8, bvh.tris8, o_s, d_s, cap_s,
+                dense_nodes=bvh.bvh8_dense, interpret=interpret)
+        else:
+            from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
+
+            t_s, i_s = ptrav8.bvh8_closest(
+                bvh.nodes8, bvh.tris8, o_s, d_s, cap_s,
+                dense_nodes=bvh.bvh8_dense, interpret=interpret)
     else:
         nodes, tris = ptrav.pack_bvh(scene)
         t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -411,10 +412,12 @@ class SceneBuilder:
             from go_raytracer_tpu.scene import bvh8 as bvh8_mod
 
             v0_np = v[:n_td, 0]
+            # default flips to "mask" once the v5e A/B confirms the win
+            layout8 = os.environ.get("GRT_TRAV8_LAYOUT", "push")
             b8 = bvh8_mod.collapse(
                 fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
                 v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
-                max_leaf=fb.leaf_size)
+                max_leaf=fb.leaf_size, layout=layout8)
             tri_bvh = T.TriBVH(
                 node_min=f(fb.node_min), node_max=f(fb.node_max),
                 first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
@@ -422,7 +425,8 @@ class SceneBuilder:
                 leaf_size=fb.leaf_size,
                 nodes8=jnp.asarray(b8.node_lines),
                 tris8=jnp.asarray(b8.tri_lines),
-                bvh8_dense=b8.dense_nodes)
+                bvh8_dense=b8.dense_nodes,
+                bvh8_layout=layout8)
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

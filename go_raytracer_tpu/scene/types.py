@@ -253,6 +253,9 @@ class TriBVH:
     nodes8: jnp.ndarray = None   # packed (R, 128) f32 register lines
     tris8: jnp.ndarray = None    # packed (R2, 128) f32 register lines
     bvh8_dense: bool = struct.field(pytree_node=False, default=False)
+    # node-entry encoding: "push" (traverse8) or "mask" (traverse8m's
+    # compressed-visit state machine) — see scene/bvh8.collapse
+    bvh8_layout: str = struct.field(pytree_node=False, default="push")
 
 
 @struct.dataclass

@@ -59,6 +59,25 @@ def main(argv=None):
         if cfg == "base":
             f = jax.jit(lambda o, d: p8.bvh8_closest(
                 nodes, tris, o, d, dense_nodes=dense))
+        elif cfg == "mask":
+            from go_raytracer_tpu.ops.pallas import traverse8m as p8m
+            from go_raytracer_tpu.scene import bvh8 as bvh8_mod
+            tr = scene.triangles
+            order = np.asarray(bvh.order)
+            valid = order >= 0
+            safe = np.where(valid, order, 0)
+            v0 = np.where(valid[:, None], np.asarray(tr.v0)[safe], 0.0)
+            e0 = np.where(valid[:, None], np.asarray(tr.e0)[safe], 0.0)
+            e1 = np.where(valid[:, None], np.asarray(tr.e1)[safe], 0.0)
+            bm = bvh8_mod.collapse(
+                np.asarray(bvh.node_min), np.asarray(bvh.node_max),
+                np.asarray(bvh.first), np.asarray(bvh.count),
+                np.asarray(bvh.skip), v0, e0, e1,
+                max_leaf=bvh.leaf_size, layout="mask")
+            nodes_m = jnp.asarray(bm.node_lines)
+            tris_m = jnp.asarray(bm.tri_lines)
+            f = jax.jit(lambda o, d: p8m.bvh8m_closest(
+                nodes_m, tris_m, o, d, dense_nodes=bm.dense_nodes))
         else:
             ilv = int(cfg[3])
             unroll = int(cfg[5])
