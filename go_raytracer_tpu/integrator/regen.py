@@ -233,18 +233,55 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         STs = STs_w.reshape(outer, cadence, n)[:, 0]   # refills only at j==0
         NIs = NIs_w.reshape(outer, cadence)[:, 0]
 
-    # reverse harvest: L = clamp?(E + W*L), one OUTER step (cadence bounce
-    # levels, unrolled) per scan iteration — 4x fewer scan iterations and
-    # one harvest row per outer step instead of one per bounce. TPU
-    # scatters serialize (~75ns/row — the original per-step scatter-set was
-    # 97% of window time) and a single global sort of window*N entries is
-    # ~2/3 of window time, so instead: within a step the taken lanes are a
-    # PREFIX of dead lanes in lane order, i.e. already in slot order. A
-    # batched per-row stable sort by the 1-bit started flag compacts each
-    # step's harvests to the row front, and rows land with sequential
-    # contiguous dynamic-update-slices at their recorded item bases —
-    # later rows' zero padding only ever overwrites item rows that a later
-    # row then fills with real data.
+    # reverse harvest: L = clamp?(E + W*L), evaluated backward over the
+    # recorded bounce levels, then each refill row's started lanes
+    # compacted to the row front (lane order == item order) so the
+    # accumulator writes are contiguous dynamic-update-slices.
+    #
+    # GRT_HARVEST=fused (pallas path only): ONE fused Pallas grid pass
+    # (ops/pallas/harvest.py) does the clamp recursion AND a bit-decomposed
+    # whole-row stable partition in VMEM. Standalone it beats the XLA
+    # epilogue (~3ms vs ~9ms at 128k lanes x 256 levels on the v5e), but
+    # at the WINDOW level it measures a wash at every cadence (within the
+    # tunnel's noise; docs/PERFORMANCE.md round-3 table) — the round-2
+    # "14.3ms harvest sort" cost it was built to remove no longer exists
+    # after the record-plane/material-carry rework — and its Mosaic
+    # compile is not covered by the persistent cache (~50s per fresh
+    # process per config). Default: XLA scan+sort.
+    #
+    # Fallback: one OUTER step (cadence bounce levels, unrolled) per scan
+    # iteration — 4x fewer scan iterations and one harvest row per outer
+    # step instead of one per bounce. TPU scatters serialize (~75ns/row —
+    # the original per-step scatter-set was 97% of window time) and a
+    # single global sort of window*N entries is ~2/3 of window time, so
+    # instead: within a step the taken lanes are a PREFIX of dead lanes in
+    # lane order, i.e. already in slot order. A batched per-row stable
+    # sort by the 1-bit started flag compacts each step's harvests to the
+    # row front, and rows land with sequential contiguous
+    # dynamic-update-slices at their recorded item bases — later rows'
+    # zero/garbage tail padding only ever overwrites item rows that a
+    # later row (or the next window's first row) then fills with real
+    # data.
+    refill_outer_s = refill_outer  # static
+    if use_pallas and not reorder \
+            and os.environ.get("GRT_HARVEST", "xla") == "fused":
+        from go_raytracer_tpu.ops.pallas import harvest as pharvest
+
+        hr, hg, hb = pharvest.reverse_harvest(
+            Er, Eg, Eb, Wr, Wg, Wb, CF, STs,
+            cadence=cadence, refill_outer=refill_outer_s,
+            max_contribution=max_contribution, interpret=interpret)
+        NIs_s = NIs[:refill_outer_s]
+        rows = jnp.stack([hr, hg, hb], axis=-1)
+
+        def write_row(acc_c, xs):
+            row, ni_s = xs
+            return jax.lax.dynamic_update_slice(
+                acc_c, row, (ni_s - item_base, jnp.int32(0))), None
+
+        acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
+        return acc, state, jnp.stack([next_item, jnp.sum(segs)])
+
     def rev_outer(L, xs):
         er, eg, eb, wr, wg, wb, cf, started = xs[:8]
         Lr, Lg, Lb = L
