@@ -30,9 +30,9 @@ def main():
     # dispatch tax (GRT_SPP=16 reproduces the old single-window bench).
     cam.samples_per_pixel = int(os.environ.get("GRT_SPP", "100"))
     key = jax.random.key(0)
-    # cadence 4 = best measured on the v5e (multi-step fused kernel: 4
-    # bounces per pallas call, refill rows/4 in the harvest sort)
-    cadence = int(os.environ.get("GRT_CADENCE", "4"))
+    # cadence 0 = the scene's tuned registry hint (cornell: 1 — occupancy
+    # 0.79 beats the cadence-4 shell amortization on the current build)
+    cadence = int(os.environ.get("GRT_CADENCE", "0"))
     refill = int(os.environ.get("GRT_REFILL", "0"))
     schedule = os.environ.get("GRT_SCHEDULE", "auto")
 
@@ -40,11 +40,17 @@ def main():
     # wavefront renderer (pallas, then xla) on any issue.
     mode_used = "regen+pallas"
     try:
+        import numpy as np
+
         kw = dict(n_lanes=1 << 17, cadence=cadence, refill_len=refill,
                   schedule=schedule)
         regen.render_regen(scene, cam, key, **kw)  # warm/compile
+        # median of 3 warm runs: the first post-compile run consistently
+        # underreports on the tunneled v5e (allocator/dispatch warmup)
         t0 = time.time()
-        _, stats = regen.render_regen(scene, cam, key, **kw)
+        runs = [regen.render_regen(scene, cam, key, **kw)[1]
+                for _ in range(3)]
+        stats = sorted(runs, key=lambda s: s["rays_per_s"])[1]
     except Exception:
         def run(backend):
             return renderer.render(scene, cam, key=key, mode="while",

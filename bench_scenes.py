@@ -43,21 +43,32 @@ def main(argv=None):
         backend = "regen+fused" if pb.supported(scene) else "regen+xla"
         t0 = time.time()
         try:
-            # first run pays the remote compile; the second is steady state
+            import numpy as np
+
+            # first run pays the remote compile; then warm runs until we
+            # have 3 (or the scene is slow enough that one is honest) —
+            # the first post-compile run consistently underreports on the
+            # tunneled v5e (allocator/dispatch warmup), so report the
+            # median of the warm runs
             regen.render_regen(scene, cam, jax.random.key(0),
                                n_lanes=args.lanes, cadence=args.cadence,
                                schedule=args.schedule)
-            _, st = regen.render_regen(scene, cam, jax.random.key(0),
-                                       n_lanes=args.lanes,
-                                       cadence=args.cadence,
-                                       schedule=args.schedule)
-            rate = st["rays_per_s"]
+            rates, st = [], None
+            for _ in range(3):
+                _, st = regen.render_regen(scene, cam, jax.random.key(0),
+                                           n_lanes=args.lanes,
+                                           cadence=args.cadence,
+                                           schedule=args.schedule)
+                rates.append(st["rays_per_s"])
+                if st["elapsed_s"] > 120:
+                    break
+            rate = float(np.median(rates))
             row = {
                 "scene": name, "S": s, "width": cam.width,
                 "spp": cam.spp_effective, "max_depth": cam.max_depth,
                 "backend": backend,
                 "rays_per_s": rate,
-                "rays_per_s_incl_compile": st["rays_per_s"],
+                "rays_all": [round(r / 1e6, 2) for r in rates],
                 "occupancy": st["occupancy"],
                 "windows": st["windows"],
                 "elapsed_s": time.time() - t0,

@@ -58,7 +58,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                  acc, state, next_item, base_key, item_base, item_end, *,
                  width, npix, sqrt_spp, window, refill, cadence,
                  n_u, max_depth, max_contribution, use_pallas, interpret,
-                 reorder=False):
+                 reorder=False, inkernel=False, harvest="xla"):
     """One generation window over [item_base, item_end) — the shard-local
     core shared by the single-device and shard_map paths. `acc` rows are
     relative to item_base.
@@ -74,6 +74,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     n = state[0].shape[0]
     dtype = state[0].dtype
     reorder = reorder and use_pallas
+    inkernel = inkernel and use_pallas and not reorder
 
     if use_pallas:
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
@@ -86,6 +87,121 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             blk = tables[3]
             blo = jnp.min(blk[:, 0:3], axis=0)
             bext = jnp.maximum(jnp.max(blk[:, 3:6], axis=0) - blo, 1e-6)
+
+    if inkernel:
+        # ---- in-kernel queue scheduler (ops/pallas/bounce.bounce_fused_q):
+        # the dynamic item queue's refill runs at EVERY bounce level inside
+        # the kernel (sequential-grid SMEM cursor), so a lane restarts the
+        # step its path dies — per-step-refill occupancy with the queue's
+        # perfect load balance, and cadence becomes pure shell
+        # amortization. Starts can happen at any level, so the records
+        # carry per-level started planes and each level's item base is
+        # next_item + exclusive-cumsum of the per-level take counts (items
+        # are assigned contiguously per level in flat lane order).
+        outer = window // cadence
+
+        def fwd_step_ik(carry, inputs):
+            state, next_item = carry
+            seed_i32, refill_rem = inputs
+            ox, oy, oz, dx, dy, dz, t, alive, item_id, depth = state
+            seed4 = jnp.stack([seed_i32, refill_rem, next_item,
+                               item_end.astype(jnp.int32)
+                               if hasattr(item_end, "astype")
+                               else jnp.int32(item_end)])
+            (rec_planes, img_planes, segc, nox, noy, noz, ndx, ndy, ndz,
+             ntm, alive2, depth2) = \
+                pallas_bounce.bounce_fused_q(
+                    tables, statics, cam_row, scene.background, seed4,
+                    ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32),
+                    depth, has_defocus=arrays.defocus_angle > 0,
+                    max_depth=max_depth, n_inner=cadence, width=width,
+                    sqrt_spp=sqrt_spp, npix=npix, interpret=interpret)
+            Er, Eg, Eb, Wr, Wg, Wb, CF, STp = rec_planes
+            Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
+                scene, Wr, Wg, Wb, img_planes)
+            tc = jnp.sum(STp, axis=1)                         # (cadence,)
+            bases = next_item + jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(tc)[:-1]])
+            next_item = next_item + jnp.sum(tc)
+            rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, STp, bases)
+            state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0,
+                      item_id, depth2)
+            return (state2, next_item), (rec, jnp.sum(segc))
+
+        osteps = jnp.arange(outer, dtype=jnp.int32) * cadence
+        refill_rems = jnp.clip(refill - osteps, 0, cadence)
+        seeds = jax.random.randint(base_key, (outer,),
+                                   jnp.iinfo(jnp.int32).min,
+                                   jnp.iinfo(jnp.int32).max,
+                                   dtype=jnp.int32)
+        (state, next_item), (rec_ys, segs) = jax.lax.scan(
+            fwd_step_ik, (state, next_item), (seeds, refill_rems))
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STp, NIs) = rec_ys
+
+        # reverse harvest with PER-LEVEL starts: same clamp recursion,
+        # one (hr, hg, hb) row per bounce level
+        def rev_outer_ik(L, xs):
+            er, eg, eb, wr, wg, wb, cf, stp = xs
+            Lr, Lg, Lb = L
+            hs = [None] * cadence
+            for j in reversed(range(cadence)):
+                raw_r = er[j] + wr[j] * Lr
+                raw_g = eg[j] + wg[j] * Lg
+                raw_b = eb[j] + wb[j] * Lb
+                # firefly clamp (camera.go:334-341); NaN sums compare
+                # false (Go parity)
+                s = raw_r + raw_g + raw_b
+                over = (cf[j] != 0) & (s > max_contribution)
+                scale = jnp.where(
+                    over, max_contribution / jnp.where(over, s, 1.0), 1.0)
+                Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
+                started = stp[j] != 0
+                hs[j] = (jnp.where(started, Lr, 0.0),
+                         jnp.where(started, Lg, 0.0),
+                         jnp.where(started, Lb, 0.0))
+                Lr = jnp.where(started, 0.0, Lr)
+                Lg = jnp.where(started, 0.0, Lg)
+                Lb = jnp.where(started, 0.0, Lb)
+            hr = jnp.stack([h[0] for h in hs])       # (cadence, N)
+            hg = jnp.stack([h[1] for h in hs])
+            hb = jnp.stack([h[2] for h in hs])
+            return (Lr, Lg, Lb), (hr, hg, hb)
+
+        # Epilogue. The sort's cost is linear in refill ROWS and the
+        # in-kernel queue has one per LEVEL (refill=204 by default, 4x the
+        # cadence-4 queue's 51) — here the fused Pallas harvest
+        # (ops/pallas/harvest.reverse_harvest_levels, one grid step per
+        # level, compaction cost independent of how many levels can
+        # start) is the default; harvest="xla" reverts to scan+sort.
+        if harvest == "fused":
+            from go_raytracer_tpu.ops.pallas import harvest as pharvest
+
+            hr, hg, hb = pharvest.reverse_harvest_levels(
+                Er, Eg, Eb, Wr, Wg, Wb, CF, STp,
+                cadence=cadence, refill_levels=refill,
+                max_contribution=max_contribution, interpret=interpret)
+        else:
+            zl = jnp.zeros((n,), dtype)
+            _, (Hr, Hg, Hb) = jax.lax.scan(
+                rev_outer_ik, (zl, zl, zl),
+                (Er, Eg, Eb, Wr, Wg, Wb, CF, STp), reverse=True)
+            # only the first `refill` LEVELS can start paths
+            lvl = lambda x: x.reshape(outer * cadence, n)[:refill]
+            starts = lvl(STp) != 0
+            keys = jnp.logical_not(starts).astype(jnp.int8)  # started first
+            _, hr, hg, hb = jax.lax.sort(
+                (keys, lvl(Hr), lvl(Hg), lvl(Hb)),
+                dimension=-1, num_keys=1, is_stable=True)
+        rows = jnp.stack([hr, hg, hb], axis=-1)      # (refill, N, 3)
+        NIs_s = NIs.reshape(outer * cadence)[:refill]
+
+        def write_row_ik(acc_c, xs):
+            row, ni_s = xs
+            return jax.lax.dynamic_update_slice(
+                acc_c, row, (ni_s - item_base, jnp.int32(0))), None
+
+        acc, _ = jax.lax.scan(write_row_ik, acc, (rows, NIs_s))
+        return acc, state, jnp.stack([next_item, jnp.sum(segs)])
 
     def coherence_sort(ox, oy, oz, dx, dy, dz, t, alive, item_id, depth):
         """Sort the lane pool by (octant, 27-bit origin Morton); dead lanes
@@ -263,8 +379,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     # later row (or the next window's first row) then fills with real
     # data.
     refill_outer_s = refill_outer  # static
-    if use_pallas and not reorder \
-            and os.environ.get("GRT_HARVEST", "xla") == "fused":
+    if use_pallas and not reorder and harvest == "fused":
         from go_raytracer_tpu.ops.pallas import harvest as pharvest
 
         hr, hg, hb = pharvest.reverse_harvest(
@@ -355,19 +470,20 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "cadence", "n_u", "max_depth",
                           "max_contribution", "use_pallas", "interpret",
-                          "reorder"))
+                          "reorder", "inkernel", "harvest"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill, cadence,
                 n_u, max_depth, max_contribution, use_pallas, interpret,
-                reorder=False):
+                reorder=False, inkernel=False, harvest="xla"):
     return _window_impl(
         scene, arrays, acc, state, next_item, base_key,
         jnp.int32(0), jnp.int32(total_items),
         width=width, npix=npix, sqrt_spp=sqrt_spp, window=window,
         refill=refill, cadence=cadence, n_u=n_u, max_depth=max_depth,
         max_contribution=max_contribution, use_pallas=use_pallas,
-        interpret=interpret, reorder=reorder)
+        interpret=interpret, reorder=reorder, inkernel=inkernel,
+        harvest=harvest)
 
 
 def _pos_tables(npix: int, n_strata: int, n: int):
@@ -867,7 +983,11 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    max_contribution=cam.max_contribution,
                    use_pallas=use_pallas,
                    interpret=jax.default_backend() != "tpu",
-                   reorder=_auto_reorder(use_pallas, reorder))
+                   reorder=_auto_reorder(use_pallas, reorder),
+                   inkernel=schedule == "queue_ik",
+                   harvest=os.environ.get(
+                       "GRT_HARVEST",
+                       "fused" if schedule == "queue_ik" else "xla"))
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = tuple(dev(x) for x in _init_state(n, dtype))
@@ -1059,7 +1179,8 @@ def _window_pipeline(dispatch, total_items, key, n_windows, bar,
 def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                  n_lanes: int = 1 << 17, refill_len: int = 0,
                  cadence: int = 0, backend: str = "auto", reorder="auto",
-                 schedule: str = "auto", dtype=jnp.float32,
+                 schedule: str = "auto", harvest: str = "auto",
+                 dtype=jnp.float32,
                  checkpoint_path=None, checkpoint_every: int = 4,
                  scene_name: str = "", verbose: bool = False):
     """Render the full image with ray regeneration — the production path.
@@ -1125,9 +1246,22 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         cadence = 1
         window = refill + d1
 
-    # "auto" resolves to "queue" until the positional schedule's v5e
-    # numbers are in (flip pending measurement)
+    # "auto" resolves to "queue" (dynamic queue, XLA-side refill at the
+    # cadence boundary); "queue_ik" moves the queue refill inside the
+    # kernel (per-step refill — see bounce_fused_q); "positional" is the
+    # measured-negative static schedule kept for experiments
     positional = schedule == "positional"
+    inkernel = schedule == "queue_ik" and not positional
+    # harvest epilogue: "fused" = ops/pallas/harvest kernel, "xla" =
+    # reverse scan + rowwise sort. Resolved HERE (not inside the jitted
+    # window — an env read inside jit is not part of the cache key, which
+    # silently invalidated the first round-3 A/B) and threaded as a
+    # static arg. "auto": the GRT_HARVEST env if set, else fused for the
+    # in-kernel queue (its per-LEVEL sort rows are 4x the cadence-4
+    # queue's) and xla otherwise.
+    if harvest == "auto":
+        harvest = os.environ.get("GRT_HARVEST",
+                                 "fused" if inkernel else "xla")
     state = _init_state(n, dtype)
     n_windows = 0
     meta = checkpoint_mod.meta_for(scene_name, cam)
@@ -1202,7 +1336,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                 cadence=cadence, n_u=n_u, max_depth=cam.max_depth,
                 max_contribution=cam.max_contribution,
                 use_pallas=use_pallas, interpret=interpret,
-                reorder=_auto_reorder(use_pallas, reorder))
+                reorder=_auto_reorder(use_pallas, reorder),
+                inkernel=inkernel, harvest=harvest)
             next_dev = cur[0]
             return cur
 
@@ -1238,7 +1373,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         "paths_per_s": total_items / elapsed if elapsed > 0 else float("nan"),
         "windows": n_windows,
         "window_s": window_times,
-        "schedule": "positional" if positional else "queue",
+        "schedule": ("positional" if positional
+                     else "queue_ik" if inkernel else "queue"),
         "occupancy": segments / max(n_windows * window * n, 1),
     }
     return linear, stats

@@ -1671,3 +1671,359 @@ def bounce_fused_pos(scene_tables, statics, cam_row, bg, seed2,
                                  max_depth=max_depth, n_inner=n_inner,
                                  width=width, sqrt_spp=sqrt_spp,
                                  interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# In-kernel QUEUE scheduler: the dynamic item queue's refill moves inside
+# the kernel and runs at EVERY inner bounce step.
+#
+# The XLA-side queue (bounce_fused) can only refill at the cadence boundary
+# because the lane->item rank is a global cumsum computed by XLA between
+# kernel calls, so a lane that dies mid-call idles until the next call —
+# the occupancy/cadence tradeoff that priced the flagship at 0.45 occupancy
+# (cadence 4). The positional schedule (bounce_fused_pos) fixed the idle
+# with per-lane static quotas but lost the queue's load balancing (measured
+# 2x worse end-to-end, docs/PERFORMANCE.md). This kernel keeps the DYNAMIC
+# queue and still refills per step:
+#
+# * grid = (n_inner, n_tiles) with the bounce level OUTERMOST: TPU grids
+#   execute sequentially on the core, so one SMEM cursor scalar carried
+#   across grid steps is a race-free global queue — tile t at level j reads
+#   the cursor after tiles 0..t-1 of level j advanced it, which also makes
+#   each level's item assignment CONTIGUOUS in flat lane order (the
+#   invariant the harvest compaction needs: a level's started lanes in lane
+#   order are consecutive items).
+# * lane state lives in VMEM scratch planes across grid steps (the
+#   level-major order revisits each tile once per level, so state cannot
+#   ride the block pipeline); inputs seed the scratch at level 0 and the
+#   final level writes the state outputs.
+# * a lane's in-tile rank among dead lanes is one (TILE_ROWS, LANE)
+#   triangular-ones MXU matmul + a log-roll sublane ladder (exact in f32:
+#   counts <= 4096).
+# * the absolute item id (cursor + rank, int32) decomposes to
+#   (pixel, stratum) -> (pi, pj, si, sj) with exact f32-divide-plus-int32-
+#   fixup arithmetic (`_item_to_coords`) — items exceed 2^24 on the
+#   reference configs (book2: 64M), so plain f32 division would be off.
+# * per-level `started` record planes + the level-major execution let the
+#   XLA epilogue reconstruct each level's item base as
+#   next_item + exclusive-cumsum(per-level take counts) — no SMEM base
+#   output needed.
+#
+# The kernel body is ONE bounce step (the level loop is the grid), so
+# Mosaic instruction count no longer scales with the cadence: cadence
+# becomes pure shell amortization with no occupancy penalty and no
+# compile-time multiplier.
+# --------------------------------------------------------------------------
+
+
+def _tile_rank_exclusive(m_i32):
+    """Exclusive prefix count of set flags over a (TILE_ROWS, LANE) tile in
+    row-major flat order (harvest.py's construction at tile shape)."""
+    m_f = m_i32.astype(jnp.float32)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+           ).astype(jnp.float32)
+    inc = jax.lax.dot_general(m_f, tri, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    row_tot = jax.lax.broadcast_in_dim(inc[:, LANE - 1],
+                                       (TILE_ROWS, LANE), (0,))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0)
+    t = jnp.where(sub >= 1, pltpu.roll(row_tot, 1, 0), 0.0)
+    sh = 1
+    while sh < TILE_ROWS:
+        t = t + jnp.where(sub >= sh + 1, pltpu.roll(t, sh, 0), 0.0)
+        sh *= 2
+    return (t + inc - m_f).astype(jnp.int32)
+
+
+def _div_fixup(num_i32, den: int, q0_i32):
+    """Correct a +-1-accurate quotient guess to exact floor division:
+    returns (num // den, num % den) given |q0 - num//den| <= 1."""
+    r = num_i32 - q0_i32 * den
+    under = (r < 0).astype(jnp.int32)
+    over = (r >= den).astype(jnp.int32)
+    return q0_i32 - under + over, r + under * den - over * den
+
+
+def _item_to_coords(item_i32, npix: int, width: int, sqrt_spp: int):
+    """Exact (pi, pj, si, sj) for stratum-major item ids
+    (item = stratum * npix + pixel, pixel = pj * width + pi,
+    stratum = si * sqrt_spp + sj — integrator/regen.py refill_assign).
+
+    Works for any 0 <= item < 2^31: the f32 quotient guess
+    floor(f32(item) / npix) is within +-1 of truth (relative f32 error
+    ~2^-23 times item/npix < 2^31/9e4 stays far below 1), and the int32
+    fixup makes it exact; the remainders are < 2^24, exact in f32. Two
+    fixup rounds on the first division out of caution at large items.
+    Pure jnp — used inside the Mosaic kernel and unit-tested directly
+    (tests/test_ikq.py)."""
+    f32 = jnp.float32
+    q0 = jnp.floor(item_i32.astype(f32) * np.float32(1.0 / npix)) \
+        .astype(jnp.int32)
+    stratum, pixel = _div_fixup(item_i32, npix, q0)
+    stratum, pixel = _div_fixup(item_i32, npix, stratum)  # safety round
+    pj0 = jnp.floor(pixel.astype(f32) * np.float32(1.0 / width)) \
+        .astype(jnp.int32)
+    pj, pi = _div_fixup(pixel, width, pj0)
+    si0 = jnp.floor(stratum.astype(f32) * np.float32(1.0 / sqrt_spp)) \
+        .astype(jnp.int32)
+    si, sj = _div_fixup(stratum, sqrt_spp, si0)
+    return pi, pj, si, sj
+
+
+def _u01_dyn(lane_u32, seed_u32, slot_u32):
+    """`_u01` with a TRACED slot (the in-kernel-queue grid makes the inner
+    step index a program id, not a Python constant)."""
+    x = lane_u32 ^ (seed_u32 * np.uint32(0x9E3779B9)) \
+        ^ (slot_u32 * np.uint32(0x632BE5AB))
+    bits = _mix32(x)
+    f = jax.lax.bitcast_convert_type(
+        (bits >> np.uint32(9)) | np.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
+                    npix,
+                    prim_ref, light_ref, med_ref, blk_ref, cam_ref,
+                    bg_ref, seed_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    time_ref, alive_ref, depth_ref,
+                    *refs):
+    """One bounce level for one lane tile per grid step; see the section
+    comment. seed_ref is SMEM (4,): [step seed, refill steps remaining,
+    queue cursor (next item id), item_end]."""
+    j = pl.program_id(0)
+    t = pl.program_id(1)
+    n_img = 4 if st["has_image"] else 0
+    n_rec = 8 + n_img
+    rec_refs = refs[:n_rec]                       # (1, TILE_ROWS, 128) each
+    seg_ref = refs[n_rec]                         # (n_tiles, n_inner) SMEM
+    state_out = refs[n_rec + 1:n_rec + 10]        # (TILE_ROWS, 128) each
+    scr = refs[n_rec + 10:n_rec + 19]             # (rows, 128) VMEM scratch
+    cur_ref = refs[n_rec + 19]                    # (1,) SMEM cursor
+
+    sl = pl.ds(t * TILE_ROWS, TILE_ROWS)
+
+    @pl.when(j == 0)
+    def _seed_scratch():
+        scr[0][sl] = ox_ref[:]
+        scr[1][sl] = oy_ref[:]
+        scr[2][sl] = oz_ref[:]
+        scr[3][sl] = dx_ref[:]
+        scr[4][sl] = dy_ref[:]
+        scr[5][sl] = dz_ref[:]
+        scr[6][sl] = time_ref[:]
+        scr[7][sl] = alive_ref[:]
+        scr[8][sl] = depth_ref[:]
+
+    @pl.when(jnp.logical_and(j == 0, t == 0))
+    def _seed_cursor():
+        cur_ref[0] = seed_ref[2]
+
+    ox, oy, oz = scr[0][sl], scr[1][sl], scr[2][sl]
+    dx, dy, dz = scr[3][sl], scr[4][sl], scr[5][sl]
+    tm = scr[6][sl]
+    alive = scr[7][sl] > 0
+    depth = scr[8][sl]
+
+    shape = (TILE_ROWS, LANE)
+    lane = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * np.uint32(LANE)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            + t.astype(jnp.uint32) * np.uint32(TILE_ROWS * LANE))
+    seed = seed_ref[0].astype(jnp.uint32)
+    n_u_step = N_U + st["n_media"]
+    slots_per_step = N_U_RAYGEN + n_u_step
+    slot0 = j.astype(jnp.uint32) * np.uint32(slots_per_step)
+    u01 = lambda k: _u01_dyn(lane, seed, slot0 + np.uint32(k))
+
+    # ---- per-level queue refill: dead lanes take the next items --------
+    dead = jnp.logical_not(alive)
+    rank = _tile_rank_exclusive(dead.astype(jnp.int32))
+    cur = cur_ref[0]
+    item = cur + rank
+    take = jnp.logical_and(dead, item < seed_ref[3])
+    take = jnp.logical_and(take, seed_ref[1] > j)
+    n_take = jnp.sum(take.astype(jnp.int32))
+    cur_ref[0] = cur + n_take
+    rec_refs[7][0] = take.astype(jnp.int32)
+    pi_i, pj_i, si_i, sj_i = _item_to_coords(item, npix, width, sqrt_spp)
+    pi = pi_i.astype(jnp.float32)
+    pj = pj_i.astype(jnp.float32)
+    si = si_i.astype(jnp.float32)
+    sj = sj_i.astype(jnp.float32)
+
+    # ---- camera ray generation (camera.go:256-270) for taken lanes -----
+    cam = cam_ref
+    recip = cam[0, 18]
+    u_jx = u01(0)
+    u_jy = u01(1)
+    off_x = (si + u_jx) * recip - 0.5
+    off_y = (sj + u_jy) * recip - 0.5
+    px = pi + off_x
+    py = pj + off_y
+    sx = cam[0, 0] + px * cam[0, 3] + py * cam[0, 6]
+    sy = cam[0, 1] + px * cam[0, 4] + py * cam[0, 7]
+    sz = cam[0, 2] + px * cam[0, 5] + py * cam[0, 8]
+    if has_defocus:
+        u_da = u01(2)
+        u_db = u01(3)
+        r_d = jnp.sqrt(u_da)
+        phi_d = (2.0 * math.pi) * u_db
+        da = r_d * jnp.cos(phi_d)
+        db = r_d * jnp.sin(phi_d)
+        cx = cam[0, 9] + da * cam[0, 12] + db * cam[0, 15]
+        cy = cam[0, 10] + da * cam[0, 13] + db * cam[0, 16]
+        cz = cam[0, 11] + da * cam[0, 14] + db * cam[0, 17]
+    else:
+        cx = cam[0, 9] + jnp.zeros_like(sx)
+        cy = cam[0, 10] + jnp.zeros_like(sx)
+        cz = cam[0, 11] + jnp.zeros_like(sx)
+    u_t = u01(4)
+    ox = jnp.where(take, cx, ox)
+    oy = jnp.where(take, cy, oy)
+    oz = jnp.where(take, cz, oz)
+    dx = jnp.where(take, sx - cx, dx)
+    dy = jnp.where(take, sy - cy, dy)
+    dz = jnp.where(take, sz - cz, dz)
+    tm = jnp.where(take, u_t, tm)
+    alive = jnp.logical_or(alive, take)
+    depth = jnp.where(take, 0, depth)
+
+    # ---- the bounce itself ---------------------------------------------
+    bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
+    u = [u01(N_U_RAYGEN + k) for k in range(n_u_step)]
+    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+     alive_out, img_out) = \
+        _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
+                     ox, oy, oz, dx, dy, dz, tm, alive, u)
+    rec_refs[0][0] = er
+    rec_refs[1][0] = eg
+    rec_refs[2][0] = eb
+    rec_refs[3][0] = wr
+    rec_refs[4][0] = wg
+    rec_refs[5][0] = wb
+    rec_refs[6][0] = cf.astype(jnp.int32)
+    seg_ref[t, j] = jnp.sum(alive.astype(jnp.int32))
+    if st["has_image"]:
+        for ref, val in zip(rec_refs[8:], img_out):
+            ref[0] = val
+    # depth cap (camera.go:293-296)
+    alive_out = jnp.logical_and(alive_out, depth < max_depth)
+    depth = jnp.where(alive, depth + 1, depth)
+
+    scr[0][sl] = nox
+    scr[1][sl] = noy
+    scr[2][sl] = noz
+    scr[3][sl] = ndx
+    scr[4][sl] = ndy
+    scr[5][sl] = ndz
+    scr[6][sl] = tm
+    scr[7][sl] = alive_out.astype(jnp.int32)
+    scr[8][sl] = depth
+    state_out[0][:] = nox
+    state_out[1][:] = noy
+    state_out[2][:] = noz
+    state_out[3][:] = ndx
+    state_out[4][:] = ndy
+    state_out[5][:] = ndz
+    state_out[6][:] = tm
+    state_out[7][:] = alive_out.astype(jnp.int32)
+    state_out[8][:] = depth
+
+
+@functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
+                                             "max_depth", "n_inner",
+                                             "width", "sqrt_spp", "npix",
+                                             "interpret"))
+def _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
+                        ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                        st_key, has_defocus, max_depth, n_inner, width,
+                        sqrt_spp, npix, interpret):
+    st = dict(st_key)
+    n = ox.shape[0]
+    assert n % (TILE_ROWS * LANE) == 0, n
+    rows = n // LANE
+    shape = (rows, LANE)
+    plane = lambda x: x.reshape(rows, LANE)
+    state_planes = [plane(x) for x in
+                    (ox, oy, oz, dx, dy, dz, time, alive_i32, depth)]
+
+    kernel = functools.partial(_fused_q_kernel, st, has_defocus, max_depth,
+                               n_inner, width, sqrt_spp, npix)
+
+    n_tiles = rows // TILE_ROWS
+    grid = (n_inner, n_tiles)
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda j, t: (t, 0))
+    rec_spec = pl.BlockSpec((1, TILE_ROWS, LANE), lambda j, t: (j, t, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda j, t: (0, 0))
+    in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
+                 table_spec(blk),
+                 pl.BlockSpec((1, 20), lambda j, t: (0, 0)),
+                 pl.BlockSpec((1, 3), lambda j, t: (0, 0)),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [row_spec] * 9)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    n_img = 4 if st["has_image"] else 0
+    rec_dtypes = [f32] * 6 + [i32, i32] + [f32] * n_img
+    rec_shape = (n_inner, rows, LANE)
+    out_specs = ([rec_spec] * len(rec_dtypes)
+                 + [pl.BlockSpec((n_tiles, n_inner), lambda j, t: (0, 0),
+                                 memory_space=pltpu.SMEM)]
+                 + [row_spec] * 9)
+    out_shapes = ([jax.ShapeDtypeStruct(rec_shape, dt) for dt in rec_dtypes]
+                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), i32)]
+                  + [jax.ShapeDtypeStruct(shape, f32)] * 7
+                  + [jax.ShapeDtypeStruct(shape, i32)] * 2)
+    scratch = ([pltpu.VMEM(shape, f32)] * 7 + [pltpu.VMEM(shape, i32)] * 2
+               + [pltpu.SMEM((1,), i32)])
+    # state scratch (9 x rows*512B) + resident tables can push past the
+    # 16MB default scoped budget at 128k lanes
+    table_bytes = sum(a.size * 4 for a in (prims, lights, med, blk))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(9 * rows * LANE * 4 + table_bytes
+                             + 24 * 1024 * 1024))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(prims, lights, med, blk, cam_row, bg.reshape(1, 3).astype(f32),
+      seed4.reshape(4).astype(i32), *state_planes)
+
+    unp = lambda x: x.reshape(n)
+    n_rec = len(rec_dtypes)
+    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:8])
+    img_planes = tuple(x.reshape(n_inner, n) for x in outs[8:n_rec]) \
+        if n_img else None
+    seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
+    state_out = tuple(unp(x) for x in outs[n_rec + 1:])
+    return (rec_planes, img_planes, seg_counts) + state_out
+
+
+def bounce_fused_q(scene_tables, statics, cam_row, bg, seed4,
+                   ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                   *, has_defocus, max_depth, n_inner=1, width=0,
+                   sqrt_spp=0, npix=0, interpret=False):
+    """`n_inner` fused queue-regeneration steps in one kernel call with
+    PER-STEP dynamic-queue refill (see `_fused_q_kernel`). seed4 =
+    [step seed, refill steps remaining, next item id, item_end] (int32).
+    Returns (rec_planes, img_planes, seg_counts, state...): rec_planes =
+    (Er, Eg, Eb, Wr, Wg, Wb, cf_i32, started_i32), each (n_inner, N);
+    state = (o xyz, d xyz, time, alive_i32, depth). The caller recovers
+    per-level item bases as next_item + exclusive-cumsum of the per-level
+    started counts (items are assigned contiguously per level in flat
+    lane order)."""
+    prims, lights, med, blk = scene_tables
+    return _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
+                               ox, oy, oz, dx, dy, dz, time, alive_i32,
+                               depth, st_key=_statics_key(statics),
+                               has_defocus=has_defocus, max_depth=max_depth,
+                               n_inner=n_inner, width=width,
+                               sqrt_spp=sqrt_spp, npix=npix,
+                               interpret=interpret)

@@ -117,15 +117,20 @@ def _compact_planes(started_i32, planes, rows: int, n_stages: int):
 
 
 def _harvest_kernel(cadence, refill_outer, s_total, rows, n_stages,
-                    max_contribution,
+                    max_contribution, per_level,
                     er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
                     cf_ref, st_ref,
                     hr_ref, hg_ref, hb_ref,
                     lr_ref, lg_ref, lb_ref):
     i = pl.program_id(0)
     s_flat = s_total - 1 - i             # bounce level, descending
-    r = s_flat // cadence
-    is_refill = ((s_flat % cadence) == 0) & (r < refill_outer)
+    if per_level:
+        # in-kernel-queue records: starts at EVERY level < refill_outer
+        # (which is the refill LEVEL count in this mode)
+        is_refill = s_flat < refill_outer
+    else:
+        r = s_flat // cadence
+        is_refill = ((s_flat % cadence) == 0) & (r < refill_outer)
 
     @pl.when(i == 0)
     def _init():
@@ -202,7 +207,7 @@ def reverse_harvest(Er, Eg, Eb, Wr, Wg, Wb, CF, STs, *, cadence,
     f32 = jnp.float32
     kernel = functools.partial(
         _harvest_kernel, cadence, refill_outer, s_total, rows, n_stages,
-        max_contribution)
+        max_contribution, False)
     # VMEM budget: 8 double-buffered input blocks + 3 double-buffered
     # output blocks + 3 scratch planes = 22 x rows*512B, plus the
     # compaction's ~10 live (rows, 128) temporaries — at 128k lanes
@@ -221,3 +226,52 @@ def reverse_harvest(Er, Eg, Eb, Wr, Wg, Wb, CF, STs, *, cadence,
     )(plane(Er), plane(Eg), plane(Eb), plane(Wr), plane(Wg), plane(Wb),
       plane(CF.astype(jnp.int32)), st3.astype(jnp.int32))
     return tuple(x.reshape(refill_outer, n) for x in outs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cadence", "refill_levels", "max_contribution",
+                              "interpret"))
+def reverse_harvest_levels(Er, Eg, Eb, Wr, Wg, Wb, CF, STl, *, cadence,
+                           refill_levels, max_contribution, interpret=False):
+    """`reverse_harvest` for the in-kernel-queue records (bounce_fused_q):
+    paths can start at EVERY bounce level within the refill span, so the
+    started flags arrive per level (STl (outer, cadence, N) int32) and the
+    compaction runs at each of the first `refill_levels` levels. Returns
+    (hr, hg, hb), each (refill_levels, N) f32 — the per-level analog of
+    the XLA sort epilogue in integrator/regen.py's queue_ik branch, same
+    permutation. Unlike the sort (cost linear in refill rows — 4x the
+    cadence-4 queue's at the default refill), this kernel's pass count is
+    fixed at one grid step per recorded level regardless of how many can
+    start."""
+    outer, cad, n = Er.shape
+    assert cad == cadence and n % LANE == 0
+    assert STl.shape == (outer, cad, n)
+    rows = n // LANE
+    s_total = outer * cadence
+    n_stages = max(1, (n - 1).bit_length())
+    shp = (s_total, rows, LANE)
+    plane = lambda x: x.reshape(shp)
+
+    rec_spec = pl.BlockSpec((1, rows, LANE),
+                            lambda i: (s_total - 1 - i, 0, 0))
+    out_spec = pl.BlockSpec(
+        (1, rows, LANE),
+        lambda i: (jnp.clip(s_total - 1 - i, 0, refill_levels - 1), 0, 0))
+    f32 = jnp.float32
+    kernel = functools.partial(
+        _harvest_kernel, cadence, refill_levels, s_total, rows, n_stages,
+        max_contribution, True)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(44 * rows * LANE * 4 * 2, 100 << 20)))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(s_total,),
+        in_specs=[rec_spec] * 8,
+        out_specs=[out_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((refill_levels, rows, LANE), f32)] * 3,
+        scratch_shapes=[pltpu.VMEM((rows, LANE), f32)] * 3,
+        compiler_params=params,
+        interpret=interpret,
+    )(plane(Er), plane(Eg), plane(Eb), plane(Wr), plane(Wg), plane(Wb),
+      plane(CF.astype(jnp.int32)), plane(STl.astype(jnp.int32)))
+    return tuple(x.reshape(refill_levels, n) for x in outs)

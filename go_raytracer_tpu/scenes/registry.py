@@ -102,10 +102,12 @@ def book2(seed: int = 0):
     for _ in range(1000):
         b.sphere(tuple(rng.uniform(0, 165, 3)), 10, white, transform=tr)
 
+    # cadence 1 re-measured best in round 3 (19.3M vs 17.4M at 2,
+    # occupancy 0.81 vs 0.71) after the fused-box/material-carry rework.
     cam = Camera(aspect_ratio=1.0, width=800, samples_per_pixel=100,
                  max_depth=40, vertical_fov=40, defocus_angle=0.0,
                  background=(0, 0, 0),
-                 regen_cadence=2)
+                 regen_cadence=1)
     cam.position((478, 278, -600), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -198,9 +200,15 @@ def cornell_box():
     b.box((0, 0, 0), (165, 165, 165), white,
           transform=Transform(rotate_y_deg=-18, translate=(130, 0, 65)))
 
+    # cadence 2 = the robust round-3 choice. The tunneled v5e has two
+    # observed performance states (docs/PERFORMANCE.md round-3 notes):
+    # in the normal state c4 wins narrowly (266M vs c2 262M vs c1 207M);
+    # in the fast state c1 wins (420M vs c2 412M vs c4 351M — low
+    # per-kernel-call overhead lets occupancy 0.79 dominate). Cadence 2
+    # is within 2% of the best in BOTH states.
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=100,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=4)
+                 regen_cadence=2)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 

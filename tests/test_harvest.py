@@ -107,9 +107,12 @@ def test_harvest_edge_start_masks():
         _check(E, W, CF, STs, cadence=cadence, refill_outer=refill_outer)
 
 
-def test_render_regen_fused_harvest_matches_default(monkeypatch):
-    """End-to-end: GRT_HARVEST=fused must render bit-identically to the
-    default XLA scan+sort epilogue through render_regen's pallas path."""
+def test_render_regen_fused_harvest_matches_default():
+    """End-to-end: harvest="fused" must render bit-identically to the
+    XLA scan+sort epilogue through render_regen's pallas path. (The
+    harvest mode is a real static jit arg — an env flip alone would NOT
+    recompile the window, which is why render_regen resolves the env
+    before dispatch.)"""
     import jax
     from go_raytracer_tpu.integrator import regen
     from go_raytracer_tpu.render.camera import Camera
@@ -127,17 +130,44 @@ def test_render_regen_fused_harvest_matches_default(monkeypatch):
                  max_depth=5)
     cam.position((0, 2, 8), (0, 1, 0))
 
-    def render():
+    def render(hv):
         img, _ = regen.render_regen(scene, cam, jax.random.key(7),
                                     n_lanes=4096, backend="pallas",
-                                    cadence=2)
+                                    cadence=2, harvest=hv)
         return img
 
-    monkeypatch.setenv("GRT_HARVEST", "xla")
-    ref = render()
-    monkeypatch.setenv("GRT_HARVEST", "fused")
-    got = render()
-    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(render("fused"), render("xla"))
+
+
+def test_render_regen_ik_fused_harvest_matches_xla():
+    """Same bit-identity for the in-kernel queue's PER-LEVEL harvest
+    (reverse_harvest_levels vs the per-level scan+sort)."""
+    import jax
+    from go_raytracer_tpu.integrator import regen
+    from go_raytracer_tpu.render.camera import Camera
+    from go_raytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.2))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    b.quad((-4, 0, -4), (8, 0, 0), (0, 0, 8), white)
+    lq = b.quad((-1, 3.9, -1), (2, 0, 0), (0, 0, 2),
+                b.diffuse_light((6, 6, 6)))
+    b.sphere((-1, 1, 1), 1.0, b.dielectric(1.5))
+    b.add_light(lq)
+    scene = b.build()
+    cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=9,
+                 max_depth=6)
+    cam.position((0, 2, 8), (0, 1, 0))
+
+    def render(hv):
+        img, st = regen.render_regen(scene, cam, jax.random.key(9),
+                                     n_lanes=4096, backend="pallas",
+                                     schedule="queue_ik", cadence=3,
+                                     harvest=hv)
+        assert st["schedule"] == "queue_ik"
+        return img
+
+    np.testing.assert_array_equal(render("fused"), render("xla"))
 
 
 def test_harvest_clamp_and_nan_parity():
