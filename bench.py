@@ -30,8 +30,9 @@ def main():
     # dispatch tax (GRT_SPP=16 reproduces the old single-window bench).
     cam.samples_per_pixel = int(os.environ.get("GRT_SPP", "100"))
     key = jax.random.key(0)
-    # cadence 0 = the scene's tuned registry hint (cornell: 1 — occupancy
-    # 0.79 beats the cadence-4 shell amortization on the current build)
+    # cadence 0 = the scene's tuned registry hint (cornell: 4 — with the
+    # in-kernel queue, cadence is pure shell amortization; occupancy is
+    # set by the workload-sized window, not the cadence)
     cadence = int(os.environ.get("GRT_CADENCE", "0"))
     refill = int(os.environ.get("GRT_REFILL", "0"))
     schedule = os.environ.get("GRT_SCHEDULE", "auto")

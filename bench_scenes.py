@@ -71,6 +71,10 @@ def main(argv=None):
                 "rays_all": [round(r / 1e6, 2) for r in rates],
                 "occupancy": st["occupancy"],
                 "windows": st["windows"],
+                "schedule": st.get("schedule"),
+                # measured mean path length — feeds the registry's
+                # regen_len hint (sizes queue_ik's auto window)
+                "mean_path_len": round(st["segments"] / st["paths"], 3),
                 "elapsed_s": time.time() - t0,
             }
         except Exception as e:  # record the failure, keep sweeping

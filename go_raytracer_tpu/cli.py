@@ -44,11 +44,14 @@ def main(argv=None):
                     help="regen start cadence: bounce steps per lane "
                          "restart (= fused-kernel steps per call); "
                          "0 = per-scene tuned default")
-    ap.add_argument("--schedule", choices=["auto", "queue", "positional"],
+    ap.add_argument("--schedule",
+                    choices=["auto", "queue_ik", "queue", "positional"],
                     default="auto",
-                    help="regen work assignment: queue = dynamic item "
-                         "queue (sorted harvest), positional = static "
-                         "per-lane blocks (sort-free harvest)")
+                    help="regen work assignment: queue_ik = dynamic item "
+                         "queue refilled inside the fused kernel every "
+                         "bounce (auto's pick on fused-kernel scenes), "
+                         "queue = XLA-side refill at the cadence boundary, "
+                         "positional = static per-lane blocks")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--obj", default="dragon.obj", help="OBJ path for scene 8")
     ap.add_argument("--profile", default="", help="write a jax.profiler trace here")

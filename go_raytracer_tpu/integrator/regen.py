@@ -815,6 +815,36 @@ def _init_state(n: int, dtype):
             jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
 
 
+def _auto_refill(total_items: int, n: int, d1: int, cadence: int,
+                 cam) -> int:
+    """Workload-sized refill for the in-kernel queue: enough start levels
+    that one window consumes the whole item queue. Expected traced
+    segments per lane = (items / lanes) x mean path length; the scene's
+    `regen_len` hint is that mean, measured at the reference config
+    (stats: segments / paths). Shorter windows split the render and pay
+    one ~d1-level drain tail (plus one dispatch round trip) per split;
+    longer ones run pure drain. Capped so the (window, n) record planes +
+    harvest buffers (~56 B/lane/level) stay well inside the v5e's 16 GB
+    HBM, and floored at the old queue's 4x(depth+1)."""
+    est_len = getattr(cam, "regen_len", 0.0) or 3.0
+    # 3% pad: if the hint undersizes (len varies with seed), a second
+    # mostly-empty window runs — one drain tail + dispatch round trip —
+    # so slight overshoot is the cheaper miss, but padding is drain:
+    # cornell at refill 816 (~workload) runs 594M rays/s, at 872 (+8%)
+    # 564M. Floor d1: below that the drain dominates any window.
+    # Measured (book3, len 5.54, 137 segments/lane): floor 4*d1 gives
+    # occupancy 0.53, workload-sized 0.73.
+    need = int(total_items / n * est_len * 1.03) + 1
+    cap = max(d1, int((8 << 30) / (56 * n)))
+    # above the cap, split the workload into equal windows: 2678 levels
+    # at cap 1170 runs [1170, 1170, 338-drain] at occupancy 0.68, but
+    # three even 893s run ~full (the last window's drain is the only
+    # partial stretch)
+    k = -(-need // cap)
+    refill = max(d1, -(-need // k))
+    return -(-refill // cadence) * cadence
+
+
 def _resolve_cadence(cadence: int, cam) -> int:
     """0 = auto: the camera's per-scene hint (registry-tuned), else 1."""
     if cadence > 0:
@@ -966,7 +996,6 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     n_strata = sqrt_spp * sqrt_spp
     total_items = npix * n_strata
     d1 = cam.max_depth + 1
-    refill = refill_len or 4 * d1
     n = n_lanes  # per device
     n_u = wavefront.N_FIXED_U + scene.media.count
     chunk = (total_items + n_dev - 1) // n_dev
@@ -974,6 +1003,13 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    # "auto" matches render_regen: in-kernel queue when the fused kernel
+    # carries the scene; per-device refill sized to the device's chunk
+    inkernel = (schedule in ("auto", "queue_ik")
+                and schedule != "positional"
+                and use_pallas and not _auto_reorder(use_pallas, reorder))
+    refill = refill_len or (_auto_refill(chunk, n, d1, cadence, cam)
+                            if inkernel else 4 * d1)
     if scene.has_tri_bvh and not use_pallas:
         cadence = 1  # see render_regen: cadence>1 mesh windows crash compile
     window = -(-(refill + d1) // cadence) * cadence
@@ -984,10 +1020,10 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    use_pallas=use_pallas,
                    interpret=jax.default_backend() != "tpu",
                    reorder=_auto_reorder(use_pallas, reorder),
-                   inkernel=schedule == "queue_ik",
+                   inkernel=inkernel,
                    harvest=os.environ.get(
                        "GRT_HARVEST",
-                       "fused" if schedule == "queue_ik" else "xla"))
+                       "fused" if inkernel else "xla"))
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = tuple(dev(x) for x in _init_state(n, dtype))
@@ -1190,19 +1226,17 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     restarts lanes only every `cadence` steps — fewer harvest rows to
     compact at the cost of lane idle time between paths.
 
-    `schedule` picks the work assignment: "queue" = dynamic item queue
-    (rank-cumsum refill + sort-compacted harvest, perfectly load
-    balanced), "positional" = static per-lane item blocks (`_pos_tables`:
-    no cumsum, no harvest sort). MEASURED on the v5e (cornell 100spp,
-    cadence 4): positional 174.3M vs queue 246.9M rays/s — a lane gets
-    only one start opportunity per cadence rows (51/window) against a
-    275-path quota, so the drain stretches over 4+ sparse windows
-    (occupancy 0.286 vs 0.449) and the imbalance costs more than the
-    14.3ms harvest sort it eliminates. "auto" therefore resolves to
-    queue. The schedule's real payoff needs the refill INSIDE the fused
-    kernel at every bounce step (per-lane take needs no global cumsum —
-    see docs/PERFORMANCE.md roadmap), which removes the cadence/idle
-    tradeoff instead of trading sort time for drain time.
+    `schedule` picks the work assignment: "queue_ik" = dynamic item queue
+    with the refill INSIDE the fused kernel at every bounce level
+    (bounce_fused_q: a dead lane restarts the step its path dies; no
+    cadence/occupancy tradeoff), "queue" = the same queue refilled from
+    XLA at the cadence boundary (rank-cumsum refill + sort-compacted
+    harvest), "positional" = static per-lane item blocks (`_pos_tables`:
+    no cumsum, no harvest sort — measured negative: per-lane quota
+    variance stretches the drain; see docs/PERFORMANCE.md). "auto"
+    resolves to queue_ik whenever the fused kernel carries the scene
+    (v5e, cornell 100spp: 594M rays/s at occupancy 0.93 vs queue's
+    252.9M), else queue.
 
     Checkpoint/resume: between windows no path state is in flight (every
     started path completes inside its window), so (accumulator, cursor,
@@ -1219,10 +1253,6 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     n_strata = sqrt_spp * sqrt_spp
     total_items = npix * n_strata
     d1 = cam.max_depth + 1
-    # 4x(depth+1) refill measured best on the cornell workload (occupancy
-    # 0.51 vs 0.42 at 2x; the drain tail amortizes over a longer window)
-    refill = refill_len or 4 * d1
-    window = -(-(refill + d1) // cadence) * cadence
     n = n_lanes
     n_u = wavefront.N_FIXED_U + scene.media.count
 
@@ -1230,6 +1260,27 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # the fused kernel tiles lanes as (32, 128) blocks
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    # "auto" resolves to the in-kernel queue (bounce_fused_q: the dynamic
+    # item queue's refill runs at EVERY bounce level inside the kernel, so
+    # a dead lane restarts the step its path dies) whenever the fused
+    # kernel carries the scene; "queue" keeps the refill in XLA at the
+    # cadence boundary; "positional" is the measured-negative static
+    # schedule kept for experiments. Measured (v5e, cornell 100spp):
+    # queue_ik 594M rays/s at occupancy 0.93 vs queue 252.9M.
+    positional = schedule == "positional"
+    inkernel = (schedule in ("auto", "queue_ik") and not positional
+                and use_pallas and not _auto_reorder(use_pallas, reorder))
+    # Window length. The old queue pays a refill cumsum + harvest sort per
+    # window, and 4x(depth+1) measured best there. The in-kernel queue
+    # restarts lanes every step, so the only per-window overhead left is
+    # the drain tail (the last ~d1 levels where no new paths start) — the
+    # best window covers the WHOLE workload: paths-per-lane x mean path
+    # length (the scene's measured `regen_len` hint). Measured sweep
+    # (cornell 100spp, c4): refill 204 -> 447M, 816 (~= workload) -> 594M,
+    # 1632 (2x workload: pure drain) -> 349M.
+    refill = refill_len or (_auto_refill(total_items, n, d1, cadence, cam)
+                            if inkernel else 4 * d1)
+    window = -(-(refill + d1) // cadence) * cadence
     if scene.has_tri_bvh and not use_pallas:
         if n > (1 << 16):
             # mesh scenes run the traversal kernel once per bounce step
@@ -1246,12 +1297,6 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         cadence = 1
         window = refill + d1
 
-    # "auto" resolves to "queue" (dynamic queue, XLA-side refill at the
-    # cadence boundary); "queue_ik" moves the queue refill inside the
-    # kernel (per-step refill — see bounce_fused_q); "positional" is the
-    # measured-negative static schedule kept for experiments
-    positional = schedule == "positional"
-    inkernel = schedule == "queue_ik" and not positional
     # harvest epilogue: "fused" = ops/pallas/harvest kernel, "xla" =
     # reverse scan + rowwise sort. Resolved HERE (not inside the jitted
     # window — an env read inside jit is not part of the cache key, which

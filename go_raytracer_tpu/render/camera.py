@@ -41,6 +41,10 @@ class Camera:
     # open scenes whose paths die in 1-2 bounces idle dead lanes between
     # restarts and run ~1.5-1.8x faster at 2 (docs/PERFORMANCE.md).
     regen_cadence: int = 0
+    # measured mean path length (traced segments per path) for this scene's
+    # reference config; sizes the in-kernel-queue window so one window
+    # covers the whole render (regen._auto_refill). 0 = generic default.
+    regen_len: float = 0.0
 
     look_from: Vec = (0.0, 0.0, 0.0)
     look_at: Vec = (0.0, 0.0, -1.0)

@@ -58,7 +58,7 @@ def book1(seed: int = 0):
     cam = Camera(aspect_ratio=16 / 9, width=400, samples_per_pixel=100,
                  max_depth=50, vertical_fov=20, defocus_angle=0.6,
                  focus_distance=10.0, background=(0.70, 0.80, 1.00),
-                 regen_cadence=2)
+                 regen_cadence=1, regen_len=2.60)
     cam.position((13, 2, 3), (0, 0, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -107,7 +107,7 @@ def book2(seed: int = 0):
     cam = Camera(aspect_ratio=1.0, width=800, samples_per_pixel=100,
                  max_depth=40, vertical_fov=40, defocus_angle=0.0,
                  background=(0, 0, 0),
-                 regen_cadence=1)
+                 regen_cadence=1, regen_len=5.08)
     cam.position((478, 278, -600), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -140,7 +140,7 @@ def book3():
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=10,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=4)
+                 regen_cadence=4, regen_len=5.54)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -163,7 +163,7 @@ def quads_scene():
 
     cam = Camera(aspect_ratio=1.0, width=400, samples_per_pixel=100,
                  max_depth=50, vertical_fov=80, background=(0.70, 0.80, 1.00),
-                 regen_cadence=1)
+                 regen_cadence=1, regen_len=1.47)
     cam.position((0, 0, 9), (0, 0, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -184,7 +184,7 @@ def simple_light():
 
     cam = Camera(aspect_ratio=16 / 9, width=400, samples_per_pixel=100,
                  max_depth=50, vertical_fov=20, background=(0, 0, 0),
-                 regen_cadence=2)
+                 regen_cadence=1, regen_len=1.69)
     cam.position((26, 3, 6), (0, 2, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -208,7 +208,7 @@ def cornell_box():
     # is within 2% of the best in BOTH states.
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=100,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=2)
+                 regen_cadence=4, regen_len=2.93)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
@@ -226,7 +226,7 @@ def cornell_smoke():
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=10,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=4)
+                 regen_cadence=4, regen_len=2.91)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 

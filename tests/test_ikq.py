@@ -127,14 +127,47 @@ def test_ikq_occupancy_wins_on_deep_queue():
     cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=256,
                  max_depth=8)
     cam.position((0, 2, 8), (0, 1, 0))
+    # refill pinned to the old queue's 4*(depth+1) for BOTH so the ratio
+    # isolates the schedule (auto-sizing would lengthen queue_ik's window)
     _, st_q = regen.render_regen(scene, cam, jax.random.key(5),
                                  n_lanes=4096, backend="pallas",
-                                 schedule="queue", cadence=4)
+                                 schedule="queue", cadence=4, refill_len=36)
     _, st_k = regen.render_regen(scene, cam, jax.random.key(5),
                                  n_lanes=4096, backend="pallas",
-                                 schedule="queue_ik", cadence=4)
+                                 schedule="queue_ik", cadence=4,
+                                 refill_len=36)
     assert st_k["occupancy"] > 1.5 * st_q["occupancy"], \
         (st_k["occupancy"], st_q["occupancy"])
     # same item set, independent RNG associations: totals agree closely
     assert abs(st_k["segments"] - st_q["segments"]) \
         < 0.02 * st_q["segments"]
+
+
+def test_auto_refill_sizing():
+    """Workload-sized windows: refill covers paths-per-lane x regen_len
+    (padded 3%), is floored at depth+1, capped by the HBM record-plane
+    budget, and rounded up to a cadence multiple."""
+    cam = Camera(width=100, samples_per_pixel=100, max_depth=50)
+    d1 = 51
+    # tiny workload -> the d1 floor (below it the drain dominates)
+    assert regen._auto_refill(1000, 1 << 17, d1, 4, cam) == 52
+    # cornell-sized workload at the measured regen_len
+    cam.regen_len = 2.93
+    r = regen._auto_refill(600 * 600 * 100, 1 << 17, d1, 4, cam)
+    assert abs(r - 600 * 600 * 100 / (1 << 17) * 2.93 * 1.03) < 8
+    assert r % 4 == 0
+    # huge workload -> HBM cap, not proportional growth
+    big = regen._auto_refill(600 * 600 * 10000, 1 << 17, d1, 4, cam)
+    assert big <= int((8 << 30) / (56 * (1 << 17))) + 4
+
+
+def test_auto_schedule_resolves_to_ikq():
+    """Default path: schedule="auto" on a fused-kernel scene runs the
+    in-kernel queue."""
+    scene = box_scene()
+    cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_depth=6)
+    cam.position((0, 2, 8), (0, 1, 0))
+    _, st = regen.render_regen(scene, cam, jax.random.key(0),
+                               n_lanes=4096, backend="pallas")
+    assert st["schedule"] == "queue_ik"
