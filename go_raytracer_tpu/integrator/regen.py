@@ -58,7 +58,8 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                  acc, state, next_item, base_key, item_base, item_end, *,
                  width, npix, sqrt_spp, window, refill, cadence,
                  n_u, max_depth, max_contribution, use_pallas, interpret,
-                 reorder=False, inkernel=False, harvest="xla"):
+                 reorder=False, inkernel=False, harvest="xla",
+                 early_exit=True):
     """One generation window over [item_base, item_end) — the shard-local
     core shared by the single-device and shard_map paths. `acc` rows are
     relative to item_base.
@@ -134,9 +135,57 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                                    jnp.iinfo(jnp.int32).min,
                                    jnp.iinfo(jnp.int32).max,
                                    dtype=jnp.int32)
-        (state, next_item), (rec_ys, segs) = jax.lax.scan(
-            fwd_step_ik, (state, next_item), (seeds, refill_rems))
-        (Er, Eg, Eb, Wr, Wg, Wb, CF, STp, NIs) = rec_ys
+        # Forward pass as a while_loop with EARLY DRAIN EXIT instead of a
+        # static scan: once every lane is dead and no refill level (or
+        # item) remains, the remaining outer steps are pure idle — for
+        # short-path scenes the all-dead tail is 20-40% of the window
+        # (quads len 1.47: levels ~130-250 of a 251-level window). The
+        # record buffers stay zero there, which the reverse recursion
+        # treats as identity (L enters the written levels as 0 and no
+        # started rows are emitted), so results are bit-identical to the
+        # scan.
+        out_sd = jax.eval_shape(fwd_step_ik, (state, next_item),
+                                (seeds[0], refill_rems[0]))
+        rec_sd = out_sd[1][0]
+        bufs = tuple(jnp.zeros((outer,) + sd.shape, sd.dtype)
+                     for sd in rec_sd[:-1])
+        # unwritten (early-exited) steps: their all-zero harvest rows are
+        # still scanned by write_row_ik, so their item base must point at
+        # the accumulator's n-lane padding tail (item_end), NOT item 0 —
+        # a zero base would overwrite the first level's real rows
+        nis_buf = jnp.full((outer,) + rec_sd[-1].shape,
+                           item_end, rec_sd[-1].dtype)
+        seg0 = jnp.zeros((), out_sd[1][1].dtype)
+
+        def fwd_cond(c):
+            i, state_c, next_c, _, _, _ = c
+            alive = state_c[7]
+            refilling = (next_c < (item_end.astype(jnp.int32)
+                                   if hasattr(item_end, "astype")
+                                   else jnp.int32(item_end))) \
+                & (i * cadence < refill)
+            if not early_exit:
+                return i < outer
+            return (i < outer) & (jnp.any(alive) | refilling)
+
+        def fwd_body(c):
+            i, state_c, next_c, bufs_c, nis_c, segs_c = c
+            (state2, next2), (rec, seg) = fwd_step_ik(
+                (state_c, next_c), (seeds[i], refill_rems[i]))
+            *planes, nis = rec
+            bufs2 = tuple(
+                jax.lax.dynamic_update_slice(b, p[None], (i, 0, 0))
+                for b, p in zip(bufs_c, planes))
+            nis_c = jax.lax.dynamic_update_slice(
+                nis_c, nis[None], (i, jnp.int32(0)))
+            seg = seg.astype(segs_c.dtype)
+            return (i + 1, state2, next2, bufs2, nis_c, segs_c + seg)
+
+        _, state, next_item, bufs, nis_buf, segs = jax.lax.while_loop(
+            fwd_cond, fwd_body,
+            (jnp.int32(0), state, next_item, bufs, nis_buf, seg0))
+        (Er, Eg, Eb, Wr, Wg, Wb, CF, STp) = bufs
+        NIs = nis_buf
 
         # reverse harvest with PER-LEVEL starts: same clamp recursion,
         # one (hr, hg, hb) row per bounce level
@@ -470,12 +519,13 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "cadence", "n_u", "max_depth",
                           "max_contribution", "use_pallas", "interpret",
-                          "reorder", "inkernel", "harvest"))
+                          "reorder", "inkernel", "harvest", "early_exit"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill, cadence,
                 n_u, max_depth, max_contribution, use_pallas, interpret,
-                reorder=False, inkernel=False, harvest="xla"):
+                reorder=False, inkernel=False, harvest="xla",
+                early_exit=True):
     return _window_impl(
         scene, arrays, acc, state, next_item, base_key,
         jnp.int32(0), jnp.int32(total_items),
@@ -483,7 +533,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         refill=refill, cadence=cadence, n_u=n_u, max_depth=max_depth,
         max_contribution=max_contribution, use_pallas=use_pallas,
         interpret=interpret, reorder=reorder, inkernel=inkernel,
-        harvest=harvest)
+        harvest=harvest, early_exit=early_exit)
 
 
 def _pos_tables(npix: int, n_strata: int, n: int):
@@ -1382,7 +1432,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                 max_contribution=cam.max_contribution,
                 use_pallas=use_pallas, interpret=interpret,
                 reorder=_auto_reorder(use_pallas, reorder),
-                inkernel=inkernel, harvest=harvest)
+                inkernel=inkernel, harvest=harvest,
+                early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1")
             next_dev = cur[0]
             return cur
 
