@@ -53,13 +53,18 @@ UNROLL = 4
 
 
 def _ctz(m):
-    """Index of the lowest set bit of a positive i32 scalar, branch-free:
-    isolate with m & -m (a power of two), convert to f32 (exact), and
-    read the exponent field. (Mosaic: i32->f32 convert and f32->i32
-    bitcast are the two scalar casts known to legalize.)"""
-    v = (m & (-m)).astype(jnp.float32)
-    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
-    return (bits >> 23) - 127
+    """Index of the lowest set bit of a nonzero i32 scalar, branch-free:
+    isolate with m & -m (a power of two), then a 5-step mask ladder of
+    pure integer scalar ops. (The f32-exponent bitcast trick does NOT
+    legalize: Mosaic rejects scalar tpu.bitcast — 'operand #0 must be
+    vector'; this ladder is the verified-legal form.)"""
+    x = m & (-m)
+    idx = jnp.where((x & jnp.int32(-65536)) != 0, 16, 0)          # 0xFFFF0000
+    idx += jnp.where((x & jnp.int32(-16711936)) != 0, 8, 0)       # 0xFF00FF00
+    idx += jnp.where((x & jnp.int32(-252645136)) != 0, 4, 0)      # 0xF0F0F0F0
+    idx += jnp.where((x & jnp.int32(-858993460)) != 0, 2, 0)      # 0xCCCCCCCC
+    idx += jnp.where((x & jnp.int32(-1431655766)) != 0, 1, 0)     # 0xAAAAAAAA
+    return idx
 
 
 def _traverse8m_kernel(dense_nodes,

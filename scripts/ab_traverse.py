@@ -78,6 +78,22 @@ def main(argv=None):
             tris_m = jnp.asarray(bm.tri_lines)
             f = jax.jit(lambda o, d: p8m.bvh8m_closest(
                 nodes_m, tris_m, o, d, dense_nodes=bm.dense_nodes))
+        elif cfg.startswith("sweep"):
+            from go_raytracer_tpu.ops.pallas import sweep as psweep
+            S = int(cfg[5:].rstrip("v") or 64)
+            tr = scene.triangles
+            order = np.asarray(bvh.order)
+            valid = order >= 0
+            safe = np.where(valid, order, 0)
+            v0 = np.where(valid[:, None], np.asarray(tr.v0)[safe], 0.0)
+            e0 = np.where(valid[:, None], np.asarray(tr.e0)[safe], 0.0)
+            e1 = np.where(valid[:, None], np.asarray(tr.e1)[safe], 0.0)
+            fixed = not cfg.endswith("v")      # "sweep64v" = variable
+            clu, trit, kb, ng = psweep.build_clusters(
+                bvh.node_min, bvh.node_max, bvh.first, bvh.count,
+                bvh.skip, v0, e0, e1, max_tris=S, fixed_groups=fixed)
+            f = jax.jit(lambda o, d: psweep.cluster_sweep_closest(
+                clu, trit, o, d, n_blocks=kb, ng_fixed=ng))
         else:
             ilv = int(cfg[3])
             unroll = int(cfg[5])
