@@ -41,6 +41,7 @@ benchmark) reuse the compiled executable.
 
 from __future__ import annotations
 
+import functools
 import os
 import time as _time
 from functools import partial
@@ -865,6 +866,18 @@ def _init_state(n: int, dtype):
             jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("total_items", "n_strata",
+                                              "npix", "h", "w"))
+def _assemble_image(acc, *, total_items, n_strata, npix, h, w):
+    """Final film assembly on device, as ONE jitted program: the eager
+    slice+reshape+mean path dispatched one tunneled op each (~240-330ms
+    of post-render latency on the v5e); this reduces on-device and
+    transfers only the (h, w, 3) image. Module-level so the jit cache
+    persists across renders."""
+    return jnp.mean(acc[:total_items].reshape(n_strata, npix, 3),
+                    axis=0).reshape(h, w, 3)
+
+
 def _auto_refill(total_items: int, n: int, d1: int, cadence: int,
                  cam) -> int:
     """Workload-sized refill for the in-kernel queue: enough start levels
@@ -1458,9 +1471,9 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
         linear = _pos_film(B[0], B[1], B[2], fpix_np, npix, n_strata, h, w)
     else:
         # item = stratum * npix + pixel -> average over strata
-        linear = np.asarray(
-            jnp.mean(acc[:total_items].reshape(n_strata, npix, 3),
-                     axis=0)).reshape(h, w, 3)
+        linear = np.asarray(_assemble_image(
+            acc, total_items=total_items, n_strata=n_strata, npix=npix,
+            h=h, w=w))
     stats = {
         "elapsed_s": elapsed,
         "segments": segments,
