@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto",
                     help="bounce backend (use xla for --cpu-virtual runs: "
                          "interpret-mode pallas is not a timing proxy)")
+    ap.add_argument("--schedule", default="auto",
+                    help="regen schedule (queue_ik = production default)")
     args = ap.parse_args(argv)
 
     import os
@@ -66,11 +68,13 @@ def main(argv=None):
         key = jax.random.key(0)
         # warm/compile, then measure
         regen.render_regen_sharded(scene, cam, m, key, n_lanes=args.lanes,
-                                   backend=args.backend)
+                                   backend=args.backend,
+                                   schedule=args.schedule)
         t0 = time.time()
         _, st = regen.render_regen_sharded(scene, cam, m, key,
                                            n_lanes=args.lanes,
-                                           backend=args.backend)
+                                           backend=args.backend,
+                                           schedule=args.schedule)
         rays = st["segments"] / st["elapsed_s"]
         if base is None:
             base = rays
@@ -82,6 +86,8 @@ def main(argv=None):
             "work_balance": st["work_balance"],
             "windows": st["windows"],
             "virtual_cpu": bool(args.cpu_virtual),
+            "schedule": args.schedule,
+            "backend": args.backend,
         }), flush=True)
     return 0
 

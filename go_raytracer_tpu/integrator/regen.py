@@ -156,7 +156,12 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         # a zero base would overwrite the first level's real rows
         nis_buf = jnp.full((outer,) + rec_sd[-1].shape,
                            item_end, rec_sd[-1].dtype)
-        seg0 = jnp.zeros((), out_sd[1][1].dtype)
+        # Segment counter as two int32 words (lo holds 30 bits): one
+        # workload-sized window can cover the whole render, and a large
+        # custom config (~2k x 2k @1000spp) exceeds int32 segments; the
+        # per-step count (<= cadence * n ~ 2^20) never overflows lo
+        # before the carry is moved. Stats only — the image is unaffected.
+        seg0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
 
         def fwd_cond(c):
             i, state_c, next_c, _, _, _ = c
@@ -179,8 +184,11 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 for b, p in zip(bufs_c, planes))
             nis_c = jax.lax.dynamic_update_slice(
                 nis_c, nis[None], (i, jnp.int32(0)))
-            seg = seg.astype(segs_c.dtype)
-            return (i + 1, state2, next2, bufs2, nis_c, segs_c + seg)
+            lo, hi = segs_c
+            lo = lo + seg.astype(jnp.int32)
+            hi = hi + (lo >> 30)
+            lo = lo & jnp.int32((1 << 30) - 1)
+            return (i + 1, state2, next2, bufs2, nis_c, (lo, hi))
 
         _, state, next_item, bufs, nis_buf, segs = jax.lax.while_loop(
             fwd_cond, fwd_body,
@@ -251,7 +259,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc_c, row, (ni_s - item_base, jnp.int32(0))), None
 
         acc, _ = jax.lax.scan(write_row_ik, acc, (rows, NIs_s))
-        return acc, state, jnp.stack([next_item, jnp.sum(segs)])
+        return acc, state, jnp.stack([next_item, segs[0], segs[1]])
 
     def coherence_sort(ox, oy, oz, dx, dy, dz, t, alive, item_id, depth):
         """Sort the lane pool by (octant, 27-bit origin Morton); dead lanes
@@ -445,7 +453,9 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc_c, row, (ni_s - item_base, jnp.int32(0))), None
 
         acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
-        return acc, state, jnp.stack([next_item, jnp.sum(segs)])
+        seg_t = jnp.sum(segs)
+        return acc, state, jnp.stack(
+            [next_item, seg_t & jnp.int32((1 << 30) - 1), seg_t >> 30])
 
     def rev_outer(L, xs):
         er, eg, eb, wr, wg, wb, cf, started = xs[:8]
@@ -486,23 +496,11 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     # only (static slice — drain-tail rows carry no harvests)
     starts = STs[:refill_outer]
     NIs_s = NIs[:refill_outer]
-    if os.environ.get("GRT_COMPACT") == "1":
-        # Pallas streaming compactor (ops/pallas/compact.py): correct and
-        # tail-garbage-safe, but MEASURED 48ms vs the sort's 14.3ms on the
-        # v5e (115.7M vs 163-174M headline) — 13k sequential 128-lane
-        # chunk iterations of dynamic rolls + a branch each; kept
-        # env-gated for future (8,128)-chunk experiments
-        from go_raytracer_tpu.ops.pallas import compact as pcompact
-
-        hr, hg, hb = pcompact.compact_rows(
-            starts, Hr[:refill_outer], Hg[:refill_outer],
-            Hb[:refill_outer], interpret=interpret)
-    else:
-        keys = jnp.logical_not(starts).astype(jnp.int8)  # started first
-        _, hr, hg, hb = jax.lax.sort(
-            (keys, Hr[:refill_outer], Hg[:refill_outer],
-             Hb[:refill_outer]),
-            dimension=-1, num_keys=1, is_stable=True)
+    keys = jnp.logical_not(starts).astype(jnp.int8)  # started first
+    _, hr, hg, hb = jax.lax.sort(
+        (keys, Hr[:refill_outer], Hg[:refill_outer],
+         Hb[:refill_outer]),
+        dimension=-1, num_keys=1, is_stable=True)
     rows = jnp.stack([hr, hg, hb], axis=-1)  # (n_start_rows, N, 3)
 
     def write_row(acc_c, xs):
@@ -511,9 +509,11 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             acc_c, row, (ni_s - item_base, jnp.int32(0))), None
 
     acc, _ = jax.lax.scan(write_row, acc, (rows, NIs_s))
-    # one packed scalar pair -> ONE host readback per window (each separate
-    # int() readback pays a full tunnel round trip, ~25ms)
-    return acc, state, jnp.stack([next_item, jnp.sum(segs)])
+    # one packed scalar triple -> ONE host readback per window (each
+    # separate int() readback pays a full tunnel round trip, ~25ms)
+    seg_t = jnp.sum(segs)
+    return acc, state, jnp.stack(
+        [next_item, seg_t & jnp.int32((1 << 30) - 1), seg_t >> 30])
 
 
 @partial(jax.jit, donate_argnums=(2, 3),
@@ -925,7 +925,7 @@ def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, n,
     the lane-sharded slice of the quota/base/first-pix tables and its own
     (G, n) accumulators. Per-window cross-device traffic is two psums and
     one tiny all_gather of replicated scalars."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_tot = n_dev * n
     quota_np, base_np, fpix_np, G = _pos_tables(npix, n_strata, n_tot)
@@ -973,7 +973,7 @@ def _render_regen_sharded_pos(scene, arrays, cam, mesh, key, n,
         in_specs=(rep, rep, spec, spec, spec, spec, spec, spec, spec,
                   rep, rep),
         out_specs=(spec, spec, spec, spec, rep, rep),
-        check_rep=False))
+        check_vma=False))
 
     from go_raytracer_tpu.utils import progress
     bar = progress.Bar(total_items, enabled=False)
@@ -1043,7 +1043,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
 
     Returns (linear image (H, W, 3), stats) with per-shard item/segment
     accounting in stats."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -1069,7 +1069,6 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     # "auto" matches render_regen: in-kernel queue when the fused kernel
     # carries the scene; per-device refill sized to the device's chunk
     inkernel = (schedule in ("auto", "queue_ik")
-                and schedule != "positional"
                 and use_pallas and not _auto_reorder(use_pallas, reorder))
     refill = refill_len or (_auto_refill(chunk, n, d1, cadence, cam)
                             if inkernel else 4 * d1)
@@ -1086,7 +1085,8 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    inkernel=inkernel,
                    harvest=os.environ.get(
                        "GRT_HARVEST",
-                       "fused" if inkernel else "xla"))
+                       "fused" if inkernel else "xla"),
+                   early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1")
 
     dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
     state = tuple(dev(x) for x in _init_state(n, dtype))
@@ -1119,15 +1119,21 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         acc2, state2, cur = _window_impl(
             scene_a, arrays_a, acc_s[0], tuple(x[0] for x in state_s),
             next_s[0], bkey, base, end, **statics)
-        next2, seg = cur[0], cur[1]
+        # cursor = [next_item, seg_lo, seg_hi] (30-bit segment words; a
+        # whole-render window can exceed int32 segments on large configs)
+        next2, seg_lo, seg_hi = cur[0], cur[1], cur[2]
         # replicated outputs (psum over ICI) so the host loop never reads a
-        # sharded array — required for multi-host operation
-        seg_all = jax.lax.psum(seg, axis)
+        # sharded array — required for multi-host operation; lo/hi words
+        # are reduced separately (lo sums stay < n_dev * 2^30 for any
+        # realistic mesh) and recombined on host
+        seg_all = jnp.stack([jax.lax.psum(seg_lo, axis),
+                             jax.lax.psum(seg_hi, axis)])
         done_all = jax.lax.psum((next2 >= end).astype(jnp.int32), axis)
         rem_all = jax.lax.psum(jnp.maximum(end - next2, 0), axis)
         # per-shard segment counts for the work-balance metric, gathered to
         # a replicated vector (tiny, once per window)
-        seg_vec = jax.lax.all_gather(seg, axis)
+        seg_vec = jnp.stack([jax.lax.all_gather(seg_lo, axis),
+                             jax.lax.all_gather(seg_hi, axis)])
         return (acc2[None], tuple(x[None] for x in state2), next2[None],
                 seg_all, done_all, rem_all, seg_vec)
 
@@ -1135,7 +1141,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         body, mesh=mesh,
         in_specs=(rep, rep, spec, spec, spec, rep),
         out_specs=(spec, spec, spec, rep, rep, rep, rep),
-        check_rep=False))
+        check_vma=False))
 
     segments = 0
     seg_per_shard = np.zeros(n_dev, dtype=np.int64)
@@ -1157,8 +1163,10 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     def sync(cur):
         nonlocal segments, seg_per_shard, rem_i, s_est, done
         seg_all, done_all, rem_all, seg_vec = cur
-        segments += int(seg_all)
-        seg_per_shard += np.asarray(seg_vec, dtype=np.int64)
+        seg_np = np.asarray(seg_all, dtype=np.int64)
+        segments += int(seg_np[0]) + (int(seg_np[1]) << 30)
+        vec = np.asarray(seg_vec, dtype=np.int64)
+        seg_per_shard += vec[0] + (vec[1] << 30)
         rem_new = int(rem_all)
         if rem_i is not None and rem_i > rem_new:
             s_est = rem_i - rem_new
@@ -1238,7 +1246,10 @@ def _window_pipeline(dispatch, total_items, key, n_windows, bar,
     def sync(cur):
         nonlocal next_i, segments, s_est
         prev = next_i
-        next_i, seg = (int(x) for x in np.asarray(cur))  # one readback
+        vals = [int(x) for x in np.asarray(cur)]         # one readback
+        next_i = vals[0]
+        # [next_item, seg] or [next_item, seg_lo, seg_hi] (30-bit words)
+        seg = vals[1] + (vals[2] << 30 if len(vals) > 2 else 0)
         segments += seg
         if next_i > prev:
             s_est = next_i - prev

@@ -187,6 +187,13 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
                         mid, kind = convert_material(b, mtl, os.path.dirname(path))
                         mtl_mats[name] = mid
                         mat_kinds[mid] = kind
+                        if options.debug:
+                            # material report (mtlLoader.go:211-227)
+                            print(f"Loaded material {name}: kind={kind} "
+                                  f"Kd={tuple(mtl.diffuse)} Ks={tuple(mtl.specular)} "
+                                  f"Ke={tuple(mtl.emission)} Ns={mtl.spec_exp} "
+                                  f"d={mtl.dissolve} Ni={mtl.refraction} "
+                                  f"illum={mtl.illum}")
                 break
 
     # pass 1: vertices, texcoords, bounds (objLoader.go:145-208)
@@ -206,9 +213,16 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
             tex_coords.append((_flt(parts[1]), _flt(parts[2])))
 
     verts = np.asarray(raw_v, dtype=np.float64)
+    if verts.size and options.debug:
+        # model bounds report (objLoader.go:223-236)
+        print(f"Model bounds: min={tuple(verts.min(0))} "
+              f"max={tuple(verts.max(0))} "
+              f"center={tuple((verts.min(0) + verts.max(0)) / 2.0)}")
     if verts.size and options.center:
         center = (verts.min(0) + verts.max(0)) / 2.0  # objLoader.go:211-215
         verts = verts - center + np.asarray(options.position)  # :243-247
+        if options.debug:
+            print(f"Centered model at {tuple(np.asarray(options.position))}")
     tex_coords = np.asarray(tex_coords, dtype=np.float64).reshape(-1, 2)
 
     # pass 2: normals, usemtl, faces (objLoader.go:286-470)
@@ -290,6 +304,10 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
         kind = mat_kinds.get(mid)
         if kind == T.MAT_DIFFUSE_LIGHT or (options.find_windows and kind == T.MAT_DIELECTRIC):
             lights.append(h)
+    if options.debug:
+        # summary (objLoader.go:516-535)
+        print(f"Loaded {len(tri_v)} triangles, {len(verts)} vertices, "
+              f"{len(mtl_mats)} MTL materials, {len(lights)} light triangles")
     return lights
 
 

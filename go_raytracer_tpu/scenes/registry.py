@@ -200,12 +200,11 @@ def cornell_box():
     b.box((0, 0, 0), (165, 165, 165), white,
           transform=Transform(rotate_y_deg=-18, translate=(130, 0, 65)))
 
-    # cadence 2 = the robust round-3 choice. The tunneled v5e has two
-    # observed performance states (docs/PERFORMANCE.md round-3 notes):
-    # in the normal state c4 wins narrowly (266M vs c2 262M vs c1 207M);
-    # in the fast state c1 wins (420M vs c2 412M vs c4 351M — low
-    # per-kernel-call overhead lets occupancy 0.79 dominate). Cadence 2
-    # is within 2% of the best in BOTH states.
+    # Under the in-kernel queue (schedule=queue_ik, the default) the
+    # refill runs at EVERY bounce level regardless of cadence, so cadence
+    # is pure XLA-shell amortization — no occupancy tradeoff. Measured on
+    # the v5e at the full 100spp config: c4 564M vs c2 517M rays/s
+    # (docs/PERFORMANCE.md round-3 notes).
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=100,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
                  regen_cadence=4, regen_len=2.93)

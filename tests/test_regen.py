@@ -334,6 +334,48 @@ def test_sharded_regen_exact_bookkeeping():
     assert st["devices"] == 8
 
 
+def test_sharded_regen_queue_ik_pallas_exact_bookkeeping():
+    """The PRODUCTION schedule — in-kernel queue + fused Pallas kernel
+    (interpret mode off-TPU) + fused reverse harvest — under shard_map on
+    the 8-device mesh: per-device item ranges, exactly one contribution
+    per (pixel, stratum) item across all shards."""
+    from go_raytracer_tpu.parallel import mesh as pmesh
+
+    scene = empty_scene(bg=(0.25, 0.5, 0.75))
+    cam = Camera(width=16, aspect_ratio=1.0, samples_per_pixel=9, max_depth=4)
+    cam.position((0, 0, 5), (0, 0, 0))
+    m = pmesh.make_mesh(8, axes=("data",))
+    img, st = regen.render_regen_sharded(scene, cam, m, jax.random.key(0),
+                                         n_lanes=4096, backend="pallas",
+                                         schedule="queue_ik")
+    np.testing.assert_allclose(img[..., 0], 0.25, atol=1e-6)
+    np.testing.assert_allclose(img[..., 1], 0.5, atol=1e-6)
+    np.testing.assert_allclose(img[..., 2], 0.75, atol=1e-6)
+    assert st["segments"] == 16 * 16 * 9
+    assert st["devices"] == 8
+    assert len(st["segments_per_shard"]) == 8
+
+
+def test_sharded_regen_queue_ik_pallas_matches_single_device():
+    """Sharded queue_ik+pallas statistically matches the single-device
+    fused render on a lit scene (same estimator, different RNG streams)."""
+    from go_raytracer_tpu.parallel import mesh as pmesh
+
+    scene = box_scene()
+    cam = Camera(width=12, aspect_ratio=1.0, samples_per_pixel=25, max_depth=5)
+    cam.position((0, 2, 6), (0, 1, 0))
+    m = pmesh.make_mesh(8, axes=("data",))
+    img_s, st_s = regen.render_regen_sharded(
+        scene, cam, m, jax.random.key(41), n_lanes=4096,
+        backend="pallas", schedule="queue_ik")
+    img_1, _ = regen.render_regen(scene, cam, jax.random.key(42),
+                                  n_lanes=4096, backend="pallas",
+                                  schedule="queue_ik")
+    assert st_s["devices"] == 8
+    np.testing.assert_allclose(img_s.mean(axis=(0, 1)),
+                               img_1.mean(axis=(0, 1)), rtol=0.1, atol=5e-3)
+
+
 def test_sharded_regen_matches_single_device_statistically():
     from go_raytracer_tpu.parallel import mesh as pmesh
 
