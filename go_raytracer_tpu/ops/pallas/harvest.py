@@ -15,7 +15,7 @@ Round-1/2 did (1) as an XLA reverse scan (6.5 ms/window on the v5e at
 started key (14.3 ms — the single largest non-kernel window cost; a
 streaming Pallas compactor with per-128-lane chunks measured WORSE, 48 ms,
 because its 13k-iteration sequential chunk loop pays ~3.7 us each, see
-ops/pallas/compact.py). This kernel does (1)+(2)+(3) in ONE grid pass:
+ops/pallas/compact.py, removed in round 4 — git history). This kernel does (1)+(2)+(3) in ONE grid pass:
 
 * grid = one step per recorded bounce level, iterated in REVERSE via the
   index maps; the radiance recursion lives in a VMEM scratch carried
@@ -32,7 +32,7 @@ ops/pallas/compact.py). This kernel does (1)+(2)+(3) in ONE grid pass:
   deficit gap d_j - d_i is at most (j - i) - 1, so two kept elements can
   never land on one slot at stage b (that would need d_j - d_i = j - i =
   2^b); a vacated slot's deficit is cleared so stale copies never ride
-  later stages (same invariant as ops/pallas/compact.py's 7-pass shuffle,
+  later stages (same invariant as the removed compact.py's 7-pass shuffle,
   lifted from 128-lane chunks to the full flat row).
 * wrap-around of the flat roll is harmless: a source element at flat
   position p can only have deficit bit b set if p >= 2^b (its destination

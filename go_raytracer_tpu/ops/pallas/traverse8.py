@@ -53,8 +53,7 @@ def _entry_padded(ref, m):
 
 def make_mt_group(tri_ref, ox, oy, oz, dx, dy, dz):
     """Möller–Trumbore over one packed triangle-group entry: 8 triangles
-    (sublanes) x 128 rays (lanes); objects.go:408-461 semantics. Shared by
-    the BVH8 walk kernels and the cluster-sweep kernel (sweep.py)."""
+    (sublanes) x 128 rays (lanes); objects.go:408-461 semantics."""
 
     def mt_group(g, t_best, idx):
         e = _entry(tri_ref, g)
@@ -90,47 +89,6 @@ def make_mt_group(tri_ref, ox, oy, oz, dx, dy, dz):
         return t_best, idx
 
     return mt_group
-
-
-def make_mt_cand(tri_ref, ox, oy, oz, dx, dy, dz):
-    """Candidate form of `make_mt_group`: returns (tmin, icand) for one
-    group against a FIXED cap instead of updating a carried best — the
-    carry's select chain serializes consecutive groups (each group's `ok`
-    compare waits on the previous update), while fixed-cap candidates are
-    fully independent, so unrolled group loads+MTs software-pipeline.
-    Same per-group semantics: min t, max triangle id at the min."""
-
-    def mt_cand(g, t_cap):
-        e = _entry(tri_ref, g)
-        v0x, v0y, v0z = e[:, 0:1], e[:, 1:2], e[:, 2:3]
-        e0x, e0y, e0z = e[:, 3:4], e[:, 4:5], e[:, 5:6]
-        e1x, e1y, e1z = e[:, 6:7], e[:, 7:8], e[:, 8:9]
-        tid = e[:, 9:10]
-        pvx = dy * e1z - dz * e1y
-        pvy = dz * e1x - dx * e1z
-        pvz = dx * e1y - dy * e1x
-        det = e0x * pvx + e0y * pvy + e0z * pvz
-        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-        qvx = tvy * e0z - tvz * e0y
-        qvy = tvz * e0x - tvx * e0z
-        qvz = tvx * e0y - tvy * e0x
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv
-        tt = (e1x * qvx + e1y * qvy + e1z * qvz) * inv
-        ok = ((jnp.abs(det) >= 1e-12)
-              & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
-              & (uu + vv <= 1.0) & (tt > T_MIN) & (tt < t_cap))
-        tcand = jnp.where(ok, tt, jnp.inf)
-        tmin = jnp.min(tcand, axis=0, keepdims=True)       # (1, 128)
-        icand = jnp.max(
-            jnp.where(ok & (tcand <= tmin), tid, -1.0),
-            axis=0, keepdims=True).astype(jnp.int32)
-        return tmin, icand
-
-    return mt_cand
 
 
 def _traverse8_kernel(dense_nodes,

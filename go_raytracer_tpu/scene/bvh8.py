@@ -91,24 +91,16 @@ DENSE_NODE_BYTES = 24 * 1024 * 1024  # padded-node budget before packing
 
 
 def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
-             max_leaf: int = 16, dense_nodes=None,
-             layout: str = "push") -> BVH8:
+             max_leaf: int = 16, dense_nodes=None) -> BVH8:
     """Collapse a flat binary skip-link BVH (arrays as in scene/bvh.FlatBVH,
     numpy) into packed BVH8 tables. v0/e0/e1 are the (T, 3) triangle rows
     in the SAME leaf order the binary tree's first/count index into.
 
-    `layout` selects the node-entry encoding:
-    - "push": per-child push values at sublane 0, lanes 8..15 (the
-      traverse8 kernel — 8 scalar extract+store ops per node visit).
-    - "mask": the mask-machine encoding (traverse8m kernel). The BFS
-      construction assigns a node's inner children CONSECUTIVE node8 ids
-      and a node's leaf-slot triangle groups CONSECUTIVE group ids, so a
-      visit's outcome compresses to two base+bitmask pairs computed by
-      VECTOR weighted reduces: per-slot weights at lane 6 (2^rank among
-      the node's inner children) and lane 7 ((2^n_groups - 1) << group
-      rank among the node's leaf groups), bases at sublane 0 lanes 8
-      (first inner child id) and 9 (first leaf group id). One conditional
-      remainder push replaces eight unconditional scalar pushes."""
+    Node-entry encoding: per-child push values at sublane 0, lanes 8..15
+    (the traverse8 kernel — 8 scalar extract+store ops per node visit).
+    A compressed "mask-machine" encoding was built and measured ~15%
+    SLOWER on the v5e (round 3, docs/PERFORMANCE.md) and was removed in
+    round 4 — git history has it."""
     node_min = np.asarray(node_min, np.float32)
     node_max = np.asarray(node_max, np.float32)
     first = np.asarray(first)
@@ -160,23 +152,12 @@ def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
     nodes[:, :, 6:] = 0.0
     groups = []                       # each: (8,) int32 tri ids, -1 pad
     for my, slots in enumerate(slot_lists):
-        ibase = lbase = None
-        irank = grank = 0
         for si, s in enumerate(slots):
             nodes[my, si, 0:3] = node_min[s]
             nodes[my, si, 3:6] = node_max[s]
-            if layout == "push":
-                nodes[my, si, 7] = 1.0
+            nodes[my, si, 7] = 1.0
             if count[s] == 0:
                 push = node8_of[s]
-                if layout == "mask":
-                    if ibase is None:
-                        ibase = push
-                    # BFS assigns a node's inner children consecutive ids
-                    # in slot order — the invariant the mask machine needs
-                    assert push == ibase + irank
-                    nodes[my, si, 6] = float(1 << irank)
-                    irank += 1
             else:
                 f, c = int(first[s]), int(count[s])
                 g0 = len(groups)
@@ -188,18 +169,7 @@ def collapse(node_min, node_max, first, count, skip, v0, e0, e1,
                                            f + gi * WIDE + take)
                     groups.append(ids)
                 push = -(2 * g0 + (ng - 1)) - 1
-                if layout == "mask":
-                    if lbase is None:
-                        lbase = g0
-                    assert g0 == lbase + grank
-                    nodes[my, si, 7] = float(((1 << ng) - 1) << grank)
-                    grank += ng
-            if layout == "push":
-                nodes[my, 0, 8 + si] = float(push)
-        if layout == "mask":
-            assert irank <= 8 and grank <= 16
-            nodes[my, 0, 8] = float(ibase or 0)
-            nodes[my, 0, 9] = float(lbase or 0)
+            nodes[my, 0, 8 + si] = float(push)
 
     g = len(groups)
     gids = np.stack(groups) if g else np.full((1, WIDE), -1, np.int32)

@@ -206,92 +206,3 @@ def test_trace_routes_through_bvh8():
     t_p = np.asarray(t_p)
     assert (np.isfinite(t_p) == hits).all()
     np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
-
-
-def test_ilv_variant_matches_base_bitwise():
-    """The interleaved branchless kernel (traverse8i) must produce the
-    same winners (idx exact) and t within FP-fusion noise vs the base
-    kernel for every ilv/unroll config and both node layouts, including
-    capped and missing rays. (t is not bit-exact: the two graphs fuse
-    the identical MT arithmetic differently.)"""
-    from go_raytracer_tpu.ops.pallas import traverse8i as ptrav8i
-
-    v = random_mesh(500, seed=51)
-    fb = bvh_mod.build(v, leaf_size=16)
-    perm = fb.order[:500]
-    vp = v[perm]
-    v0 = vp[:, 0]
-    args = (fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
-            v0, vp[:, 1] - v0, vp[:, 2] - v0)
-    rs = np.random.default_rng(52)
-    n = 2048 + 128   # 2+ tiles, padded tail
-    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
-    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
-    cap = jnp.asarray(
-        np.where(rs.uniform(size=n) < 0.3, 5.0, np.inf), jnp.float32)
-    for dense in (False, True):
-        b8 = bvh8_mod.collapse(*args, max_leaf=16, dense_nodes=dense)
-        nodes = jnp.asarray(b8.node_lines)
-        tris = jnp.asarray(b8.tri_lines)
-        t_b, i_b = ptrav8.bvh8_closest(nodes, tris, o, d, cap,
-                                       dense_nodes=dense, interpret=True)
-        for ilv, unroll in ((1, 1), (2, 2), (4, 1), (8, 1)):
-            t_i, i_i = ptrav8i.bvh8_closest_ilv(
-                nodes, tris, o, d, cap, dense_nodes=dense,
-                ilv=ilv, unroll=unroll, interpret=True)
-            np.testing.assert_array_equal(np.asarray(i_i), np.asarray(i_b))
-            np.testing.assert_allclose(np.asarray(t_i), np.asarray(t_b),
-                                       rtol=1e-5)
-
-
-def test_mask_variant_matches_base_bitwise():
-    """The mask-machine kernel (traverse8m) must produce the same winners
-    and caps as the base kernel for both node layouts, including capped
-    and missing rays, and the full trace path must route through it when
-    the scene is built with GRT_TRAV8_LAYOUT=mask."""
-    from go_raytracer_tpu.ops.pallas import traverse8m as ptrav8m
-
-    v = random_mesh(500, seed=51)
-    fb = bvh_mod.build(v, leaf_size=16)
-    perm = fb.order[:500]
-    vp = v[perm]
-    v0 = vp[:, 0]
-    args = (fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
-            v0, vp[:, 1] - v0, vp[:, 2] - v0)
-    rs = np.random.default_rng(52)
-    n = 2048 + 128
-    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
-    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
-    cap = jnp.asarray(
-        np.where(rs.uniform(size=n) < 0.3, 5.0, np.inf), jnp.float32)
-    for dense in (False, True):
-        b8 = bvh8_mod.collapse(*args, max_leaf=16, dense_nodes=dense)
-        t_b, i_b = ptrav8.bvh8_closest(
-            jnp.asarray(b8.node_lines), jnp.asarray(b8.tri_lines), o, d,
-            cap, dense_nodes=dense, interpret=True)
-        b8m = bvh8_mod.collapse(*args, max_leaf=16, dense_nodes=dense,
-                                layout="mask")
-        assert b8m.n_nodes == b8.n_nodes and b8m.n_groups == b8.n_groups
-        t_m, i_m = ptrav8m.bvh8m_closest(
-            jnp.asarray(b8m.node_lines), jnp.asarray(b8m.tri_lines), o, d,
-            cap, dense_nodes=dense, interpret=True)
-        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_b))
-        np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_b),
-                                   rtol=1e-5)
-
-
-def test_mask_layout_routes_through_trace(monkeypatch):
-    monkeypatch.setenv("GRT_TRAV8_LAYOUT", "mask")
-    s_mask, s_dense = _scenes_with_and_without_bvh(300, seed=61)
-    assert s_mask.tri_bvh.bvh8_layout == "mask"
-    rs = np.random.default_rng(62)
-    n = 640
-    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
-    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
-    t_p, i_p = trace_mod.pallas_bvh_closest(s_mask, o, d)
-    ts = ix.tri_ts(s_dense.triangles, o, d, 1e-3, np.inf)
-    t_d = np.asarray(ts.min(axis=1))
-    hits = np.isfinite(t_d)
-    t_p = np.asarray(t_p)
-    assert (np.isfinite(t_p) == hits).all()
-    np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
