@@ -1,0 +1,130 @@
+"""Pallas TPU row-stream kernel for the binned mesh intersector.
+
+Each 8-row block (1024 rays) streams ONE contiguous range of packed
+8-triangle groups — the union of its rows' sorted-in clusters — as dense
+(8, 128) Möller–Trumbore ops. A group entry is LOADED ONCE per block and
+evaluated against all 8 ray rows, amortizing the scalar-indexed load
+(the BVH8 walk's measured ~100ns/visit latency floor) 8x; lanes testing
+a neighbour cluster's triangles are waste, not error (closest-hit
+updates are idempotent), and after the cluster sort the block's rows
+share clusters anyway.
+
+Block group ranges arrive as SMEM scalar arrays (glo/ghi per block)
+computed by the XLA glue (ops/trace.binned_closest) from the sorted
+cluster keys; a settled/dead block gets glo == ghi.
+
+Semantics: Möller–Trumbore per objects.go:408-461 — identical arithmetic
+to the BVH8 walk kernel (ops/pallas/traverse8.py), hit-for-hit parity —
+with the t interval (T_MIN, t_best), t_best seeded from the per-ray cap
+(bvh.go:69-82's shrinking rayT.Max).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from go_raytracer_tpu.ops.pallas.traverse8 import T_MIN, _entry
+
+LANE = 128
+TILE_ROWS = 8
+
+
+def _mt_entry(e, ox, oy, oz, dx, dy, dz, t_best, idx):
+    """Möller–Trumbore of one pre-loaded packed group entry (8 tris in
+    sublanes) against one 128-ray row; objects.go:408-461 semantics,
+    identical to traverse8.make_mt_group with the load hoisted."""
+    v0x, v0y, v0z = e[:, 0:1], e[:, 1:2], e[:, 2:3]
+    e0x, e0y, e0z = e[:, 3:4], e[:, 4:5], e[:, 5:6]
+    e1x, e1y, e1z = e[:, 6:7], e[:, 7:8], e[:, 8:9]
+    tid = e[:, 9:10]
+    pvx = dy * e1z - dz * e1y
+    pvy = dz * e1x - dx * e1z
+    pvz = dx * e1y - dy * e1x
+    det = e0x * pvx + e0y * pvy + e0z * pvz
+    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e0z - tvz * e0y
+    qvy = tvz * e0x - tvx * e0z
+    qvz = tvx * e0y - tvy * e0x
+    vv = (dx * qvx + dy * qvy + dz * qvz) * inv
+    tt = (e1x * qvx + e1y * qvy + e1z * qvz) * inv
+    ok = ((jnp.abs(det) >= 1e-12)
+          & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+          & (uu + vv <= 1.0) & (tt > T_MIN) & (tt < t_best))
+    tcand = jnp.where(ok, tt, jnp.inf)
+    tmin = jnp.min(tcand, axis=0, keepdims=True)       # (1, 128)
+    icand = jnp.max(
+        jnp.where(ok & (tcand <= tmin), tid, -1.0),
+        axis=0, keepdims=True).astype(jnp.int32)
+    upd = tmin < t_best
+    t_best = jnp.where(upd, tmin, t_best)
+    idx = jnp.where(upd, icand, idx)
+    return t_best, idx
+
+
+def _stream_kernel(tri_ref, glo_ref, ghi_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   t_ref, idx_ref,
+                   t_out, idx_out):
+    i = pl.program_id(0)
+    rows = [
+        tuple(ref[pl.ds(s, 1), :] for ref in
+              (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+        for s in range(TILE_ROWS)
+    ]
+
+    def g_body(g, carry):
+        e = _entry(tri_ref, g)
+        out = []
+        for s in range(TILE_ROWS):
+            ox, oy, oz, dx, dy, dz = rows[s]
+            out.append(_mt_entry(e, ox, oy, oz, dx, dy, dz,
+                                 carry[2 * s], carry[2 * s + 1]))
+        return tuple(x for pair in out for x in pair)
+
+    init = []
+    for s in range(TILE_ROWS):
+        init.append(t_ref[pl.ds(s, 1), :])
+        init.append(idx_ref[pl.ds(s, 1), :])
+    res = jax.lax.fori_loop(glo_ref[i], ghi_ref[i], g_body, tuple(init))
+    for s in range(TILE_ROWS):
+        t_out[pl.ds(s, 1), :] = res[2 * s]
+        idx_out[pl.ds(s, 1), :] = res[2 * s + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stream_rows(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx, *,
+                interpret=False):
+    """Stream each 8-row block's group range against its 1024 rays.
+
+    Ray/t/idx planes are (rows, 128); glo/ghi are (rows//8,) i32 group
+    ranges per block (empty => untouched). Returns updated (t, idx)."""
+    rows = ox.shape[0]
+    grid = (rows // TILE_ROWS,)
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    table_spec = pl.BlockSpec(tri_lines.shape, lambda i: (0, 0))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table_bytes = tri_lines.size * 4
+    params = {}
+    if table_bytes > 8 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(table_bytes + 32 * 1024 * 1024))
+    t2, idx2 = pl.pallas_call(
+        _stream_kernel,
+        grid=grid,
+        in_specs=[table_spec, smem_spec, smem_spec] + [row_spec] * 8,
+        out_specs=[row_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANE), jnp.int32)],
+        interpret=interpret,
+        **params,
+    )(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx)
+    return t2, idx2

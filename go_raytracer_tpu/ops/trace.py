@@ -209,6 +209,11 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     from go_raytracer_tpu.ops.pallas import traverse as ptrav
 
     bvh = scene.tri_bvh
+    if (bvh.cl_lines is not None
+            and os.environ.get("GRT_MESH", "binned") == "binned"):
+        # binned intersector (round 4, default): sorts the pool itself,
+        # so it replaces both the coherence sort and the walk below
+        return binned_closest(scene, o, d, t_cap, alive)
     n = o.shape[0]
     lo = bvh.node_min[0]
     ext = jnp.maximum(bvh.node_max[0] - lo, 1e-6)
@@ -242,22 +247,12 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     interpret = jax.default_backend() != "tpu"
     if bvh.nodes8 is not None and os.environ.get("GRT_TRAVERSE8", "1") != "0":
         # sublane-batched BVH8 walk: 8 child boxes per vector op, one walk
-        # per 128-lane row — the default. Node-entry encoding follows the
-        # build-time layout: "mask" = the compressed-visit state machine
-        # (ops/pallas/traverse8m.py), "push" = per-child scalar pushes
-        # (ops/pallas/traverse8.py).
-        if getattr(bvh, "bvh8_layout", "push") == "mask":
-            from go_raytracer_tpu.ops.pallas import traverse8m as ptrav8m
+        # per 128-lane row — the default (ops/pallas/traverse8.py).
+        from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
 
-            t_s, i_s = ptrav8m.bvh8m_closest(
-                bvh.nodes8, bvh.tris8, o_s, d_s, cap_s,
-                dense_nodes=bvh.bvh8_dense, interpret=interpret)
-        else:
-            from go_raytracer_tpu.ops.pallas import traverse8 as ptrav8
-
-            t_s, i_s = ptrav8.bvh8_closest(
-                bvh.nodes8, bvh.tris8, o_s, d_s, cap_s,
-                dense_nodes=bvh.bvh8_dense, interpret=interpret)
+        t_s, i_s = ptrav8.bvh8_closest(
+            bvh.nodes8, bvh.tris8, o_s, d_s, cap_s,
+            dense_nodes=bvh.bvh8_dense, interpret=interpret)
     else:
         nodes, tris = ptrav.pack_bvh(scene)
         t_s, i_s = ptrav.bvh_closest(nodes, tris, o_s, d_s, cap_s,
@@ -268,6 +263,187 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     _, t_t, i_t = jax.lax.sort((perm, t_s, i_s), dimension=0, num_keys=1,
                                is_stable=False)
     return t_t, i_t
+
+
+_BIN_ROWS = 8          # kernel tile rows (ops/pallas/stream.TILE_ROWS)
+_BIN_LANE = 128
+
+
+def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
+                   max_iters: int = 512):
+    """Closest triangle hit via the BINNED intersector: every traversal
+    round each ray picks its nearest cluster whose processed-bit is
+    clear (front-to-back, pruned by the evolving per-ray t_best), the
+    whole pool is lax.sorted by that cluster id (~1-3 ms at 128k lanes
+    on the v5e — measured round 4, scripts/bench_binning.py), and the
+    stream kernel (ops/pallas/stream.py) runs each 8-row block's
+    contiguous group range as dense (8, 128) Möller–Trumbore ops with
+    one load per group per block. No scalar stack walk, no row-union
+    blowup — the two measured limiters of the BVH8 walk on incoherent
+    wavefronts (docs/PERFORMANCE.md).
+
+    Every cluster in a block's streamed range is marked processed for
+    every lane of the block (K <= 256 processed-bits ride the sort as
+    K/32 int32 lane planes), so a round typically settles several
+    clusters per ray and the loop converges in a handful of rounds;
+    progress is strict (a lane's candidate is always inside its block
+    range), bounding rounds by K.
+
+    Semantics match pallas_bvh_closest: shrinking (T_MIN, t_best) ray
+    interval seeded from t_cap (bvh.go:69-82), Möller–Trumbore per
+    objects.go:408-461. Front-to-back cluster order + strict `near <
+    t_best` candidacy reproduce the BVH early-out; rows that straddle a
+    cluster boundary stream both clusters (idempotent)."""
+    from go_raytracer_tpu.ops.pallas import stream as pstream
+
+    bvh = scene.tri_bvh
+    n_orig = o.shape[0]
+    tile = _BIN_ROWS * _BIN_LANE
+    n = ((n_orig + tile - 1) // tile) * tile
+    pad = n - n_orig
+    if t_cap is None:
+        t_cap = jnp.full((n_orig,), INF, dtype=o.dtype)
+    if alive is not None:
+        t_cap = jnp.where(alive, t_cap, 0.0)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,), t_cap.dtype)])
+    rows = n // _BIN_LANE
+    blocks = rows // _BIN_ROWS
+
+    k_cl = bvh.cl_lo.shape[0]
+    n_mask = (k_cl + 31) // 32
+    chunk = 128
+    k_pad = ((k_cl + chunk - 1) // chunk) * chunk
+    lo_p = jnp.concatenate([bvh.cl_lo,
+                            jnp.full((k_pad - k_cl, 3), jnp.nan)], 0)
+    hi_p = jnp.concatenate([bvh.cl_hi,
+                            jnp.full((k_pad - k_cl, 3), jnp.nan)], 0)
+    gs = bvh.cl_gs
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    t0 = t_cap
+    idx0 = jnp.full((n,), -1, jnp.int32)
+    masks0 = tuple(jnp.zeros((n,), jnp.int32) for _ in range(n_mask))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+
+    tiny = 1e-30
+
+    def candidates(ox, oy, oz, dx, dy, dz, t_best, masks):
+        """Per-ray lex-min (near, k) over hit clusters whose processed
+        bit is clear."""
+        sd = lambda v: jnp.where(jnp.abs(v) < tiny,
+                                 jnp.where(v < 0, -tiny, tiny), v)
+        ix_, iy_, iz_ = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+        best_near = jnp.full_like(t_best, jnp.inf)
+        best_k = jnp.full((n,), k_cl, jnp.int32)
+        shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
+
+        for c in range(k_pad // chunk):
+            lo = jax.lax.slice_in_dim(lo_p, c * chunk, (c + 1) * chunk)
+            hi = jax.lax.slice_in_dim(hi_p, c * chunk, (c + 1) * chunk)
+            # (N, chunk) slab tests; NaN padding boxes never hit
+            tx0 = (lo[:, 0][None, :] - ox[:, None]) * ix_[:, None]
+            tx1 = (hi[:, 0][None, :] - ox[:, None]) * ix_[:, None]
+            ty0 = (lo[:, 1][None, :] - oy[:, None]) * iy_[:, None]
+            ty1 = (hi[:, 1][None, :] - oy[:, None]) * iy_[:, None]
+            tz0 = (lo[:, 2][None, :] - oz[:, None]) * iz_[:, None]
+            tz1 = (hi[:, 2][None, :] - oz[:, None]) * iz_[:, None]
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            near = jnp.maximum(near, T_MIN)
+            kid = c * chunk + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            hit = near < jnp.minimum(far, t_best[:, None])
+            # processed bits for this chunk: 4 mask planes x 32 bits
+            proc = jnp.concatenate(
+                [jnp.bitwise_and(
+                    jnp.right_shift(masks[c * 4 + m][:, None], shifts), 1)
+                 for m in range(4) if c * 4 + m < n_mask]
+                + [jnp.zeros((n, 32), jnp.int32)] * max(0, 4 - (n_mask - c * 4)),
+                axis=1)[:, :chunk]
+            ok = hit & (proc == 0)
+            nearm = jnp.where(ok, near, jnp.inf)
+            cmin = jnp.min(nearm, axis=1)
+            ckid = jnp.min(jnp.where(nearm <= cmin[:, None], kid,
+                                     jnp.int32(0x7FFFFFFF)), axis=1)
+            better = (cmin < best_near) | (
+                (cmin == best_near) & (ckid < best_k))
+            best_near = jnp.where(better, cmin, best_near)
+            best_k = jnp.where(better, ckid, best_k)
+        has = jnp.isfinite(best_near)
+        best_k = jnp.where(has, best_k, k_cl)
+        return best_k, has
+
+    def cond(state):
+        return (state[0] < max_iters) & (state[-1] > 0)
+
+    def body(state):
+        (i, ox, oy, oz, dx, dy, dz, t_best, idx, masks, io, key,
+         _) = state
+        sorted_ = jax.lax.sort(
+            (key, ox, oy, oz, dx, dy, dz, t_best, idx, io) + masks,
+            dimension=0, num_keys=1, is_stable=False)
+        (key_s, ox, oy, oz, dx, dy, dz, t_best, idx, io) = sorted_[:10]
+        masks = sorted_[10:]
+        kb = key_s.reshape(blocks, _BIN_ROWS * _BIN_LANE)
+        blk_first = kb[:, 0]
+        # last REAL (non-sentinel) key in the block; keys ascend, so the
+        # sentinel lanes are a suffix
+        blk_last = jnp.max(jnp.where(kb < k_cl, kb, -1), axis=1)
+        empty = blk_last < 0
+        glo = jnp.where(empty, 0, gs[jnp.clip(blk_first, 0, k_cl - 1)])
+        ghi = jnp.where(empty, 0,
+                        gs[jnp.clip(blk_last, 0, k_cl - 1) + 1])
+        # mark every cluster in the block range processed, per lane
+        ca = jnp.repeat(blk_first, _BIN_ROWS * _BIN_LANE)
+        cb = jnp.repeat(blk_last, _BIN_ROWS * _BIN_LANE)
+        new_masks = []
+        for m in range(n_mask):
+            lo_b = jnp.clip(ca - 32 * m, 0, 32)
+            hi_b = jnp.clip(cb + 1 - 32 * m, 0, 32)
+            # bits [lo_b, hi_b): ((1<<hi)-1) ^ ((1<<lo)-1), with <<32
+            # avoided via the -1 form
+            full = jnp.int32(-1)
+            hi_bits = jnp.where(hi_b >= 32, full,
+                                (jnp.int32(1) << hi_b) - 1)
+            lo_bits = jnp.where(lo_b >= 32, full,
+                                (jnp.int32(1) << lo_b) - 1)
+            new_masks.append(masks[m] | (hi_bits & ~lo_bits))
+        masks = tuple(new_masks)
+        plane = lambda x: x.reshape(rows, _BIN_LANE)
+        t2, idx2 = pstream.stream_rows(
+            bvh.cl_lines, glo, ghi, plane(ox), plane(oy), plane(oz),
+            plane(dx), plane(dy), plane(dz), plane(t_best), plane(idx),
+            interpret=interpret)
+        t_best = t2.reshape(n)
+        idx = idx2.reshape(n)
+        # candidates for the NEXT round computed at the tail so the loop
+        # exits right after the last productive stream (no trailing
+        # sort+stream over an all-sentinel pool)
+        bk, has = candidates(ox, oy, oz, dx, dy, dz, t_best, masks)
+        key = jnp.where(has, bk, jnp.int32(k_cl))
+        n_active = jnp.sum(has.astype(jnp.int32))
+        return (i + 1, ox, oy, oz, dx, dy, dz, t_best, idx, masks, io,
+                key, n_active)
+
+    bk0, has0 = candidates(ox, oy, oz, dx, dy, dz, t0, masks0)
+    key0 = jnp.where(has0, bk0, jnp.int32(k_cl))
+    state = (jnp.int32(0), ox, oy, oz, dx, dy, dz, t0, idx0, masks0,
+             iota, key0, jnp.sum(has0.astype(jnp.int32)))
+    state = jax.lax.while_loop(cond, body, state)
+    t_best, idx, io = state[7], state[8], state[10]
+    # undo the pool permutation (sorting by the carried iota restores
+    # original lane order exactly)
+    _, t_o, i_o = jax.lax.sort((io, t_best, idx), dimension=0, num_keys=1,
+                               is_stable=False)
+    return t_o[:n_orig], i_o[:n_orig]
 
 
 def _tri_attrs(tr: T.Triangles, o, d, t, idx):

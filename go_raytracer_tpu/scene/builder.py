@@ -412,12 +412,20 @@ class SceneBuilder:
             from go_raytracer_tpu.scene import bvh8 as bvh8_mod
 
             v0_np = v[:n_td, 0]
-            # default flips to "mask" once the v5e A/B confirms the win
-            layout8 = os.environ.get("GRT_TRAV8_LAYOUT", "push")
             b8 = bvh8_mod.collapse(
                 fb.node_min, fb.node_max, fb.first, fb.count, fb.skip,
                 v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
-                max_leaf=fb.leaf_size, layout=layout8)
+                max_leaf=fb.leaf_size)
+            # cluster partition for the binned intersector: target
+            # ~T/256-triangle clusters, capped so the per-iteration
+            # candidate scan stays cheap (ops/trace.binned_closest)
+            from go_raytracer_tpu.scene import clusters as cl_mod
+
+            max_tris = int(os.environ.get("GRT_CLUSTER_TRIS", "256"))
+            cl = cl_mod.partition(
+                fb, v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
+                max_tris=max_tris)
+            cl_ng = np.diff(cl.group_start)
             tri_bvh = T.TriBVH(
                 node_min=f(fb.node_min), node_max=f(fb.node_max),
                 first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
@@ -426,7 +434,11 @@ class SceneBuilder:
                 nodes8=jnp.asarray(b8.node_lines),
                 tris8=jnp.asarray(b8.tri_lines),
                 bvh8_dense=b8.dense_nodes,
-                bvh8_layout=layout8)
+                cl_lo=jnp.asarray(cl.aabb_lo),
+                cl_hi=jnp.asarray(cl.aabb_hi),
+                cl_gs=jnp.asarray(cl.group_start),
+                cl_lines=jnp.asarray(cl.tri_lines),
+                cl_max_groups=int(cl_ng.max()) if cl_ng.size else 0)
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

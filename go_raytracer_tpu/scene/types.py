@@ -253,9 +253,13 @@ class TriBVH:
     nodes8: jnp.ndarray = None   # packed (R, 128) f32 register lines
     tris8: jnp.ndarray = None    # packed (R2, 128) f32 register lines
     bvh8_dense: bool = struct.field(pytree_node=False, default=False)
-    # node-entry encoding: "push" (traverse8) or "mask" (traverse8m's
-    # compressed-visit state machine) — see scene/bvh8.collapse
-    bvh8_layout: str = struct.field(pytree_node=False, default="push")
+    # cluster partition for the binned intersector (scene/clusters.py /
+    # ops/trace.binned_closest); None when absent
+    cl_lo: jnp.ndarray = None    # (K, 3) cluster box min
+    cl_hi: jnp.ndarray = None    # (K, 3) cluster box max
+    cl_gs: jnp.ndarray = None    # (K + 1,) i32 group offsets
+    cl_lines: jnp.ndarray = None  # packed tri-group register lines
+    cl_max_groups: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
