@@ -33,6 +33,13 @@ PAIRS = [
     ("renders/simpleLight.png", "/root/reference/readmeImgs/simpleLight.jpg",
      "simpleLight", 24),
     ("renders/quads.png", "/root/reference/readmeImgs/quads.jpg", "quads", 24),
+    # book2 is the everything-scene (media + image + noise + motion blur +
+    # fused boxes, main.go:94-174); its floor-box heights and bounce
+    # spheres use the unseeded rng, so like book1 only channel means are
+    # strictly comparable — but the fixed hero spheres/light dominate the
+    # block stats.
+    ("renders/book2.png", "/root/reference/readmeImgs/book2.jpg", "book2*", 24),
+    ("renders/book3.png", "/root/reference/readmeImgs/book3.jpg", "book3", 24),
 ]
 
 
