@@ -43,6 +43,18 @@ def uniform_block(key: jax.Array, shape, n_uniforms: int, dtype=jnp.float32) -> 
 # loops are replaced by closed forms with identical densities.
 # ----------------------------------------------------------------------------
 
+def _sqrt0(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt clamped to 0 for x <= 0 with a FINITE backward everywhere.
+
+    sqrt(max(0, x)) is forward-safe but its derivative at x <= 0 is inf,
+    and inf * 0-cotangent = NaN poisons whole gradient pytrees (found by
+    the round-4 GRAD.md run: cone-sampling a sphere light from inside it
+    NaN'd every parameter gradient). The double-where keeps the value
+    bit-identical and zeroes the backward on the clamped branch."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def unit_disk(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     """Uniform point on the unit disk, (..., 2).
 
@@ -61,7 +73,7 @@ def unit_vector(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     via z ~ U[-1,1], phi ~ U[0,2pi) (Archimedes).
     """
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = _sqrt0(1.0 - z * z)
     phi = TWO_PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -75,7 +87,7 @@ def cosine_direction(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     sq = jnp.sqrt(u2)
     x = jnp.cos(phi) * sq
     y = jnp.sin(phi) * sq
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))
+    z = _sqrt0(1.0 - u2)
     return jnp.stack([x, y, z], axis=-1)
 
 
@@ -84,8 +96,8 @@ def to_sphere(radius: jnp.ndarray, dist_squared: jnp.ndarray,
     """Cone sample toward a sphere of `radius` at squared distance
     `dist_squared`, in the frame whose +z points at the sphere center
     (hittable/objects.go:70-80)."""
-    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / dist_squared))
+    cos_theta_max = _sqrt0(1.0 - radius * radius / dist_squared)
     z = 1.0 + u2 * (cos_theta_max - 1.0)
     phi = TWO_PI * u1
-    t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    t = _sqrt0(1.0 - z * z)
     return jnp.stack([jnp.cos(phi) * t, jnp.sin(phi) * t, z], axis=-1)

@@ -131,7 +131,17 @@ def _sphere_light_pdf(scene, lt_pid, o, d):
     root = jnp.where(sur(r1), r1, r2)
     hit = ok & sur(root)
     dist_sq = vm.length_squared(c0[None, :, :] - o[:, None, :])
-    cos_theta_max = jnp.sqrt(1.0 - (r * r)[None, :] / dist_sq)  # NaN if inside
+    arg = 1.0 - (r * r)[None, :] / dist_sq
+    # Double-where: the origin-inside-sphere NaN is injected as a
+    # CONSTANT (forward bit-identical to the reference's unguarded
+    # sqrt), while sqrt only ever sees positive arguments — otherwise
+    # sqrt's backward at arg <= 0 poisons every gradient that flows
+    # through a path that ever light-samples this sphere (found by the
+    # round-4 GRAD.md run: book3's whole tex_color gradient went NaN).
+    safe = jnp.sqrt(jnp.where(arg > 0, arg, 1.0))
+    cos_theta_max = jnp.where(
+        arg > 0, safe,
+        jnp.where(arg == 0, 0.0, jnp.float32(jnp.nan)))  # NaN if inside
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
     return jnp.where(hit, 1.0 / solid_angle, 0.0)
 

@@ -108,11 +108,21 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
     else:
         pdf_value = mat_pdf
     scatter_pdf = mat_pdf                              # materials.go:51-57,161-163
-    # NaN-parity note: pdf_value==0 lanes produce inf/NaN exactly like the
-    # reference's 1/pdfValue (camera.go:328); the safe ratio below is only
-    # for lanes that are masked out (non-diffuse), so grads don't poison.
-    ratio = jnp.where(diffuse, scatter_pdf, 0.0) / jnp.where(
-        diffuse, pdf_value, 1.0)
+    # pdf_value == 0 (or NaN, the inside-a-sphere-light quirk): the
+    # reference divides by it (camera.go:328) and the resulting inf/NaN
+    # is ALWAYS zeroed downstream — clampContribution turns an inf sum
+    # into NaN components (mc/inf * inf) and PrintColor's NaN guard
+    # (color.go:28-36) zeroes the vertex's whole emit+scatter triple, so
+    # the path's subtree contributes exactly 0 either way. We realize
+    # that limit EXPLICITLY (E and W of the bad vertex set to 0 below)
+    # instead of propagating inf/NaN: the film value is identical, and
+    # an actual x/0 would poison whole gradient pytrees through inf *
+    # 0-cotangent product terms (round-4 GRAD.md finding — TPU numerics
+    # hit such lanes where CPU does not).
+    ok_div = diffuse & (pdf_value > 0)
+    bad_pdf = diffuse & ~ok_div
+    ratio = jnp.where(ok_div, scatter_pdf, 0.0) / jnp.where(
+        ok_div, pdf_value, 1.0)
     w_diffuse = tex_val * ratio[:, None]
 
     W = jnp.where(diffuse[:, None], w_diffuse, zero3)
@@ -163,8 +173,14 @@ def _bounce(scene: T.Scene, o, d, time, alive, u):
         E = E * sur_m
         W = W * sur_m
 
+    # zero the bad-mixture-pdf vertex's whole contribution (the explicit
+    # limit of the reference's inf/NaN -> clamp -> NaN-guard pipeline;
+    # see the pdf_value note above). Killing the lane also skips its
+    # pointless subtree.
+    E = jnp.where(bad_pdf[:, None], 0.0, E)
+    W = jnp.where(bad_pdf[:, None], 0.0, W)
     new_o = jnp.where(lit[:, None], hit.p, o)
-    alive_next = is_metal | is_diel | diffuse
+    alive_next = (is_metal | is_diel | diffuse) & ~bad_pdf
     return E, W, diffuse, new_o, new_d, alive_next
 
 

@@ -65,8 +65,22 @@ def _sphere_attrs(sp: T.Spheres, o, d, time, t, idx):
     front = vm.dot(d, outward) < 0
     normal = jnp.where(front[:, None], outward, -outward)
     # spherical uv (objects.go:44-50)
-    theta = jnp.arccos(jnp.clip(-outward[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-outward[:, 2], outward[:, 0]) + jnp.pi
+    # arccos with a FINITE backward at the poles: d(arccos)/dx at |x|=1
+    # is -inf, and a pole hit (|outward_y| rounding to exactly 1 — seen
+    # on the TPU backend, whose rsqrt lands there more often than CPU)
+    # would NaN the whole gradient pytree via inf * 0-cotangent. The
+    # double-where keeps the forward value bit-identical.
+    cy = jnp.clip(-outward[:, 1], -1.0, 1.0)
+    interior = jnp.abs(cy) < 1.0
+    theta = jnp.where(
+        interior,
+        jnp.arccos(jnp.where(interior, cy, 0.0)),
+        jnp.where(cy > 0, 0.0, jnp.pi))
+    # arctan2's backward at (0, 0) — the exact pole — is 0/0; feed the
+    # pole lanes (x=1, z=0), whose forward atan2 is the same 0
+    px = jnp.where(interior, outward[:, 0], 1.0)
+    pz = jnp.where(interior, -outward[:, 2], 0.0)
+    phi = jnp.arctan2(pz, px) + jnp.pi
     return p, normal, front, phi / (2.0 * jnp.pi), theta / jnp.pi, sp.mat_id[idx]
 
 

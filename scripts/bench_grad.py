@@ -63,7 +63,7 @@ def main(argv=None):
           ("camera", (0,), 1.0, "camera origin x"),
           ("background", (1,), 1e-2, "background G")]),
         ("book3", registry.book3,
-         [("ref_idx", (0,), 2e-3, "glass ref_idx (score-fn)"),
+         [("ref_idx", "diel", 2e-3, "glass ref_idx (score-fn)"),
           ("tex_color", (0, 0), 1e-2, "albedo R")]),
         ("cornellSmoke", registry.cornell_smoke,
          [("med_neg_inv_density", (0,), 2.0, "smoke neg_inv_density"),
@@ -112,6 +112,10 @@ def main(argv=None):
             if c[1] is None:  # emission: patch to the light's texture row
                 tex_row = int(np.asarray(scene.materials.tex_id)[emit_rows[0]])
                 checks[ci] = (c[0], (tex_row, 0), c[2], c[3])
+            elif c[1] == "diel":  # the dielectric material's own row
+                row = int(np.where(
+                    np.asarray(scene.materials.kind) == 2)[0][0])
+                checks[ci] = (c[0], (row,), c[2], c[3])
 
         (val, segs), grads = vg(params)
         jax.block_until_ready(grads)
@@ -168,7 +172,9 @@ def main(argv=None):
             fh.write(f"| {r['scene']} | {r['rays']:,} | "
                      f"{r['fwd_segments']:,} | {r['grad_step_s']*1e3:.0f} ms"
                      f" | {r['grad_rays_per_s']/1e6:.1f}M | "
-                     f"{r['peak_device_bytes']/2**30:.2f} GiB |\n")
+                     + (f"{r['peak_device_bytes']/2**30:.2f} GiB"
+                        if r['peak_device_bytes'] else "n/a (tunnel)")
+                     + " |\n")
         fh.write("\nFD checks (analytic vs central difference):\n\n"
                  "| scene | parameter | analytic | FD | rel err |\n"
                  "|---|---|---|---|---|\n")
@@ -178,12 +184,28 @@ def main(argv=None):
                          f"{c['analytic']:.3e} | {c['fd']:.3e} | "
                          f"{c['rel_err']:.3f} |\n")
         fh.write(
-            "\nNotes: ref_idx flows through the Schlick branch's "
-            "score-function estimator, so its FD agreement is "
-            "in-expectation (tests/test_grad.py averages multiple sample "
-            "sets for the assertion; the single-key row here shows the "
-            "realized draw). All other rows are pathwise gradients with "
-            "common random numbers. The inverse-rendering example "
+            "\nNotes.\n"
+            "* albedo / emission / background / density are pathwise "
+            "gradients with common random numbers — their FD agreement "
+            "is tight (density is the noisiest estimator; its FD "
+            "converges with spp).\n"
+            "* ref_idx flows through the Schlick branch's score-function "
+            "estimator (agreement in expectation, validated in a "
+            "controlled pane scene by tests/test_grad.py::"
+            "test_grad_ref_idx_matches_fd); on book3's curved glass "
+            "sphere the single-config FD additionally contains moving-"
+            "discontinuity boundary terms (TIR onset, refraction "
+            "silhouettes) that pathwise+score estimators do not model — "
+            "edge sampling is explicitly out of scope (SURVEY §7).\n"
+            "* camera-origin rows are pathwise-interior gradients; the "
+            "FD includes silhouette boundary terms for the same reason.\n"
+            "* Running this artifact at scale found and fixed two real "
+            "backward-poisoning bugs (round 4): sqrt's infinite "
+            "derivative at clamped arguments in the cone/light-pdf "
+            "samplers (core/rng._sqrt0, integrator/sampling."
+            "_sphere_light_pdf) NaN'd entire gradient pytrees whenever "
+            "a path light-sampled a sphere from inside it.\n"
+            "* The inverse-rendering example "
             "(examples/inverse_rendering.py) optimizes these same "
             "parameters end-to-end.\n")
     print(f"wrote {args.out}")

@@ -74,14 +74,23 @@ def test_lambertian_under_emissive_sky():
 def test_sphere_light_pdf_nan_from_inside_quirk():
     """Reference quirk: PdfValue of a sphere light from inside it is NaN
     (sqrt of a negative, objects.go:58); NaN samples blacken the pixel at
-    the film's NaN guard (color.go:28-36). Verify NaN propagates."""
+    the film's NaN guard (color.go:28-36), so such a vertex's whole
+    emit+scatter subtree contributes exactly 0. Since round 4 the
+    integrator realizes that limit EXPLICITLY (zeroed E/W instead of a
+    propagated NaN — an actual x/NaN division poisons gradient pytrees
+    through inf * 0-cotangent products; see GRAD.md): the pre-film value
+    is 0 where the reference's would be NaN, and the film value is
+    identical either way."""
     b = SceneBuilder(background=(0, 0, 0))
     b.quad((-50, 0, -50), (100, 0, 0), (0, 0, 100), b.lambertian((0.5, 0.5, 0.5)))
     dome = b.sphere((0, 0, 0), 1000.0, b.diffuse_light((1, 1, 1)))
     b.add_light(dome)
     s = b.build()
     L = _radiance(s, (0, 5, 0), (0.0, -1, 0.0), n_rays=64, max_depth=3)
-    assert np.isnan(L).any()
+    # the floor is lit only through the inside-the-dome light pdf, whose
+    # mixture pdf is NaN -> every diffuse floor vertex is zeroed
+    assert not np.isnan(L).any()
+    np.testing.assert_allclose(L, 0.0, atol=0.0)
 
 
 def test_mirror_reflects_light_exactly():
