@@ -118,14 +118,16 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                     depth, has_defocus=arrays.defocus_angle > 0,
                     max_depth=max_depth, n_inner=cadence, width=width,
                     sqrt_spp=sqrt_spp, npix=npix, interpret=interpret)
-            Er, Eg, Eb, Wr, Wg, Wb, CF, STp = rec_planes
-            Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
-                scene, Wr, Wg, Wb, img_planes)
-            tc = jnp.sum(STp, axis=1)                         # (cadence,)
+            # merged record planes: V = E or W (disjoint by material
+            # semantics), FL bits = clamp | emit<<1 | started<<2
+            Vr, Vg, Vb, FL = rec_planes
+            Vr, Vg, Vb = pallas_bounce.patch_image_weight_planes(
+                scene, Vr, Vg, Vb, img_planes)
+            tc = jnp.sum((FL >> 2) & 1, axis=1)               # (cadence,)
             bases = next_item + jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(tc)[:-1]])
             next_item = next_item + jnp.sum(tc)
-            rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, STp, bases)
+            rec = (Vr, Vg, Vb, FL, bases)
             state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0,
                       item_id, depth2)
             return (state2, next_item), (rec, jnp.sum(segc))
@@ -193,27 +195,29 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         _, state, next_item, bufs, nis_buf, segs = jax.lax.while_loop(
             fwd_cond, fwd_body,
             (jnp.int32(0), state, next_item, bufs, nis_buf, seg0))
-        (Er, Eg, Eb, Wr, Wg, Wb, CF, STp) = bufs
+        (Vr, Vg, Vb, FL) = bufs
         NIs = nis_buf
 
         # reverse harvest with PER-LEVEL starts: same clamp recursion,
-        # one (hr, hg, hb) row per bounce level
+        # one (hr, hg, hb) row per bounce level. Merged V/FL records:
+        # raw = emit ? V : V * L (a vertex never has both E and W).
         def rev_outer_ik(L, xs):
-            er, eg, eb, wr, wg, wb, cf, stp = xs
+            vr, vg, vb, fl = xs
             Lr, Lg, Lb = L
             hs = [None] * cadence
             for j in reversed(range(cadence)):
-                raw_r = er[j] + wr[j] * Lr
-                raw_g = eg[j] + wg[j] * Lg
-                raw_b = eb[j] + wb[j] * Lb
+                emit = (fl[j] & 2) != 0
+                raw_r = jnp.where(emit, vr[j], vr[j] * Lr)
+                raw_g = jnp.where(emit, vg[j], vg[j] * Lg)
+                raw_b = jnp.where(emit, vb[j], vb[j] * Lb)
                 # firefly clamp (camera.go:334-341); NaN sums compare
                 # false (Go parity)
                 s = raw_r + raw_g + raw_b
-                over = (cf[j] != 0) & (s > max_contribution)
+                over = ((fl[j] & 1) != 0) & (s > max_contribution)
                 scale = jnp.where(
                     over, max_contribution / jnp.where(over, s, 1.0), 1.0)
                 Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
-                started = stp[j] != 0
+                started = (fl[j] & 4) != 0
                 hs[j] = (jnp.where(started, Lr, 0.0),
                          jnp.where(started, Lg, 0.0),
                          jnp.where(started, Lb, 0.0))
@@ -235,17 +239,17 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             from go_raytracer_tpu.ops.pallas import harvest as pharvest
 
             hr, hg, hb = pharvest.reverse_harvest_levels(
-                Er, Eg, Eb, Wr, Wg, Wb, CF, STp,
+                Vr, Vg, Vb, FL,
                 cadence=cadence, refill_levels=refill,
                 max_contribution=max_contribution, interpret=interpret)
         else:
             zl = jnp.zeros((n,), dtype)
             _, (Hr, Hg, Hb) = jax.lax.scan(
                 rev_outer_ik, (zl, zl, zl),
-                (Er, Eg, Eb, Wr, Wg, Wb, CF, STp), reverse=True)
+                (Vr, Vg, Vb, FL), reverse=True)
             # only the first `refill` LEVELS can start paths
             lvl = lambda x: x.reshape(outer * cadence, n)[:refill]
-            starts = lvl(STp) != 0
+            starts = (lvl(FL) & 4) != 0
             keys = jnp.logical_not(starts).astype(jnp.int8)  # started first
             _, hr, hg, hb = jax.lax.sort(
                 (keys, lvl(Hr), lvl(Hg), lvl(Hb)),
@@ -327,12 +331,13 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 n_inner=cadence, interpret=interpret)
         item_id = jnp.where(take, item, item_id)
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
-        Er, Eg, Eb, Wr, Wg, Wb, CF = rec_planes
+        # merged V/FL record planes (see fwd_step_ik)
+        Vr, Vg, Vb, FL = rec_planes
         # image-texture patch (texture.go:70-86), batched over the whole
         # cadence block of record planes
-        Wr, Wg, Wb = pallas_bounce.patch_image_weight_planes(
-            scene, Wr, Wg, Wb, img_planes)
-        rec = (Er, Eg, Eb, Wr, Wg, Wb, CF, take, ni_step) + \
+        Vr, Vg, Vb = pallas_bounce.patch_image_weight_planes(
+            scene, Vr, Vg, Vb, img_planes)
+        rec = (Vr, Vg, Vb, FL, take, ni_step) + \
             ((perm,) if reorder else ())
         seg = jnp.sum(segc)
         state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0, item_id,
@@ -374,7 +379,13 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         # L = 0 plays that black child.
         na = na & (depth < max_depth)
         depth = jnp.where(alive, depth + 1, depth)
-        rec = (E, W, cf & alive, take, ni_step)
+        # merge to the V/FL record format (E and W are disjoint: lights/
+        # background terminate, scatterers don't emit — materials.go)
+        emit = jnp.any(E != 0.0, axis=-1)
+        V = jnp.where(emit[:, None], E, W)
+        fl = ((cf & alive).astype(jnp.int32)
+              | (emit.astype(jnp.int32) << 1))
+        rec = (V, fl, take, ni_step)
         state2 = (no[:, 0], no[:, 1], no[:, 2], nd[:, 0], nd[:, 1],
                   nd[:, 2], t, na, item_id, depth)
         return (state2, next_item), (rec, seg)
@@ -389,21 +400,20 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         (state, next_item), (rec_ys, segs) = jax.lax.scan(
             fwd_step_fused, (state, next_item), (seeds, do_refills))
-        # ys shapes: E*/W*/CF (outer, cadence, N); STs (outer, N); NIs (outer,)
-        (Er, Eg, Eb, Wr, Wg, Wb, CF, STs, NIs) = rec_ys[:9]
-        PERMs = rec_ys[9] if reorder else None
+        # ys shapes: V*/FL (outer, cadence, N); STs (outer, N); NIs (outer,)
+        (Vr, Vg, Vb, FL, STs, NIs) = rec_ys[:6]
+        PERMs = rec_ys[6] if reorder else None
     else:
         steps = jnp.arange(window)
         do_refills = (steps < refill) & (steps % cadence == 0)
         step_keys = jax.random.split(base_key, window)
-        (state, next_item), ((Es, Ws, CFs, STs_w, NIs_w), segs) = jax.lax.scan(
+        (state, next_item), ((Vs, FLs, STs_w, NIs_w), segs) = jax.lax.scan(
             fwd_step, (state, next_item), (step_keys, do_refills))
         # convert per-step (window, N, 3) records to the unified
         # component-plane outer layout (slow fallback path only)
         comp = lambda x, c: x[..., c].reshape(outer, cadence, n)
-        Er, Eg, Eb = (comp(Es, c) for c in range(3))
-        Wr, Wg, Wb = (comp(Ws, c) for c in range(3))
-        CF = CFs.reshape(outer, cadence, n)
+        Vr, Vg, Vb = (comp(Vs, c) for c in range(3))
+        FL = FLs.reshape(outer, cadence, n)
         STs = STs_w.reshape(outer, cadence, n)[:, 0]   # refills only at j==0
         NIs = NIs_w.reshape(outer, cadence)[:, 0]
 
@@ -441,7 +451,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         from go_raytracer_tpu.ops.pallas import harvest as pharvest
 
         hr, hg, hb = pharvest.reverse_harvest(
-            Er, Eg, Eb, Wr, Wg, Wb, CF, STs,
+            Vr, Vg, Vb, FL, STs,
             cadence=cadence, refill_outer=refill_outer_s,
             max_contribution=max_contribution, interpret=interpret)
         NIs_s = NIs[:refill_outer_s]
@@ -458,16 +468,17 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             [next_item, seg_t & jnp.int32((1 << 30) - 1), seg_t >> 30])
 
     def rev_outer(L, xs):
-        er, eg, eb, wr, wg, wb, cf, started = xs[:8]
+        vr, vg, vb, fl, started = xs[:5]
         Lr, Lg, Lb = L
         for j in reversed(range(cadence)):
-            raw_r = er[j] + wr[j] * Lr
-            raw_g = eg[j] + wg[j] * Lg
-            raw_b = eb[j] + wb[j] * Lb
+            emit = (fl[j] & 2) != 0
+            raw_r = jnp.where(emit, vr[j], vr[j] * Lr)
+            raw_g = jnp.where(emit, vg[j], vg[j] * Lg)
+            raw_b = jnp.where(emit, vb[j], vb[j] * Lb)
             # firefly clamp (camera.go:334-341): rescale so the component
             # sum <= max_contribution; NaN sums compare false (Go parity)
             s = raw_r + raw_g + raw_b
-            over = (cf[j] != 0) & (s > max_contribution)
+            over = ((fl[j] & 1) != 0) & (s > max_contribution)
             scale = jnp.where(over, max_contribution / jnp.where(over, s, 1.0),
                               1.0)
             Lr, Lg, Lb = raw_r * scale, raw_g * scale, raw_b * scale
@@ -481,13 +492,13 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             # unwind this outer step's lane sort so L lines up with the
             # PREVIOUS outer step's records (perm is a unique key: one
             # unstable lane-wide sort restores pre-sort order exactly)
-            _, Lr, Lg, Lb = jax.lax.sort((xs[8], Lr, Lg, Lb),
+            _, Lr, Lg, Lb = jax.lax.sort((xs[5], Lr, Lg, Lb),
                                          dimension=0, num_keys=1,
                                          is_stable=False)
         return (Lr, Lg, Lb), (hr, hg, hb)
 
     zero_l = jnp.zeros((n,), dtype)
-    rev_xs = (Er, Eg, Eb, Wr, Wg, Wb, CF, STs) + \
+    rev_xs = (Vr, Vg, Vb, FL, STs) + \
         ((PERMs,) if reorder else ())
     _, (Hr, Hg, Hb) = jax.lax.scan(
         rev_outer, (zero_l, zero_l, zero_l), rev_xs, reverse=True)

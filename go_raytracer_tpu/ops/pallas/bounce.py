@@ -1208,8 +1208,13 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
     at inner step 0 (aligned with the regen start cadence), so the XLA
     bookkeeping around the kernel is paid once per n_inner bounces.
 
-    out_refs layout: record stacks Er,Eg,Eb,Wr,Wg,Wb,cf
-    [+ ratio,u,v,img_id when has_image], each (n_inner, R, 128) — the
+    out_refs layout: record stacks Vr,Vg,Vb,FL
+    [+ ratio,u,v,img_id when has_image], each (n_inner, R, 128). V is the
+    MERGED emission/weight plane: a vertex never has both E != 0 and
+    W != 0 (lights/background terminate, scatterers don't emit —
+    materials.go), so one f32 triple + a flag bit carries both; FL packs
+    bit0 = firefly-clamp flag, bit1 = emit. 7 record planes become 4 —
+    the record traffic is the window's main HBM cost. This is the
     native component-plane layout the regen reverse scan consumes, so no
     XLA-side (N,3) interleave/stack copies happen per step; then a
     per-tile (1, n_inner) SMEM segment-count row (popcount of the alive
@@ -1265,7 +1270,7 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
 
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     n_u_step = N_U + st["n_media"]
-    n_rec = 7 + (4 if st["has_image"] else 0)
+    n_rec = 4 + (4 if st["has_image"] else 0)
     refs = iter(out_refs)
     rec_refs = [next(refs) for _ in range(n_rec)]  # (n_inner, R, 128) each
     seg_ref = next(refs)                           # (1, n_inner) SMEM counts
@@ -1278,19 +1283,18 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
          alive_out, img_out) = \
             _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                          ox, oy, oz, dx, dy, dz, tm, alive, u)
-        rec_refs[0][j, :, :] = er
-        rec_refs[1][j, :, :] = eg
-        rec_refs[2][j, :, :] = eb
-        rec_refs[3][j, :, :] = wr
-        rec_refs[4][j, :, :] = wg
-        rec_refs[5][j, :, :] = wb
-        rec_refs[6][j, :, :] = cf.astype(jnp.int32)
+        emit = (er != 0.0) | (eg != 0.0) | (eb != 0.0)
+        rec_refs[0][j, :, :] = jnp.where(emit, er, wr)
+        rec_refs[1][j, :, :] = jnp.where(emit, eg, wg)
+        rec_refs[2][j, :, :] = jnp.where(emit, eb, wb)
+        rec_refs[3][j, :, :] = (cf.astype(jnp.int32)
+                                | (emit.astype(jnp.int32) << 1))
         # whole (n_tiles, n_inner) SMEM buffer mapped to every grid step
         # (a (1, n_inner) block would fail Mosaic's divisibility check);
         # each tile owns its program_id row
         seg_ref[pl.program_id(0), j] = jnp.sum(alive.astype(jnp.int32))
         if st["has_image"]:
-            for ref, val in zip(rec_refs[7:], img_out):
+            for ref, val in zip(rec_refs[4:], img_out):
                 ref[j, :, :] = val
         # depth cap (camera.go:293-296): level depth+1 was just recorded; a
         # path gets exactly max_depth+1 levels
@@ -1358,7 +1362,7 @@ def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
                 + [row_spec] * (9 + 5))
     f32 = jnp.float32
     n_img = 4 if st["has_image"] else 0
-    rec_dtypes = [f32] * 6 + [jnp.int32] + [f32] * n_img
+    rec_dtypes = [f32] * 3 + [jnp.int32] + [f32] * n_img
     rec_shape = (n_inner, rows, LANE)
     out_specs = ([rec_spec] * len(rec_dtypes)
                  + [pl.BlockSpec((n_tiles, n_inner), lambda i: (0, 0),
@@ -1383,8 +1387,8 @@ def _bounce_fused_jit(prims, lights, med, blk, cam_row, bg, seed,
     n_rec = len(rec_dtypes)
     # record planes stay in native layout: (n_inner, rows, 128) -> a free
     # reshape to (n_inner, N); the regen reverse scan consumes them as-is
-    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:7])
-    img_planes = tuple(x.reshape(n_inner, n) for x in outs[7:n_rec]) \
+    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:4])
+    img_planes = tuple(x.reshape(n_inner, n) for x in outs[4:n_rec]) \
         if n_img else None
     seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
     state_out = tuple(unp(x) for x in outs[n_rec + 1:])
@@ -1402,8 +1406,9 @@ def bounce_fused(scene_tables, statics, cam_row, bg, seed,
     (rows, 128)-plane conversions are free reshapes.
 
     Returns (rec_planes, img_planes, seg_counts, ox', oy', oz', dx', dy',
-    dz', time', alive', depth'): rec_planes = (Er, Eg, Eb, Wr, Wg, Wb,
-    cf_i32), each (n_inner, N) in native lane order; img_planes = None or
+    dz', time', alive', depth'): rec_planes = (Vr, Vg, Vb, fl_i32) —
+    merged E/W value planes + flag bits (bit0 clamp, bit1 emit), each
+    (n_inner, N) in native lane order; img_planes = None or
     (ratio, u, v, img_id) with the same shape; seg_counts = (n_inner,)
     traced-segment counts."""
     prims, lights, med, blk = scene_tables
@@ -1795,7 +1800,7 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
     j = pl.program_id(0)
     t = pl.program_id(1)
     n_img = 4 if st["has_image"] else 0
-    n_rec = 8 + n_img
+    n_rec = 4 + n_img
     rec_refs = refs[:n_rec]                       # (1, TILE_ROWS, 128) each
     seg_ref = refs[n_rec]                         # (n_tiles, n_inner) SMEM
     state_out = refs[n_rec + 1:n_rec + 10]        # (TILE_ROWS, 128) each
@@ -1845,7 +1850,6 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
     take = jnp.logical_and(take, seed_ref[1] > j)
     n_take = jnp.sum(take.astype(jnp.int32))
     cur_ref[0] = cur + n_take
-    rec_refs[7][0] = take.astype(jnp.int32)
     pi_i, pj_i, si_i, sj_i = _item_to_coords(item, npix, width, sqrt_spp)
     pi = pi_i.astype(jnp.float32)
     pj = pj_i.astype(jnp.float32)
@@ -1896,16 +1900,17 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
      alive_out, img_out) = \
         _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                      ox, oy, oz, dx, dy, dz, tm, alive, u)
-    rec_refs[0][0] = er
-    rec_refs[1][0] = eg
-    rec_refs[2][0] = eb
-    rec_refs[3][0] = wr
-    rec_refs[4][0] = wg
-    rec_refs[5][0] = wb
-    rec_refs[6][0] = cf.astype(jnp.int32)
+    emit = (er != 0.0) | (eg != 0.0) | (eb != 0.0)
+    rec_refs[0][0] = jnp.where(emit, er, wr)
+    rec_refs[1][0] = jnp.where(emit, eg, wg)
+    rec_refs[2][0] = jnp.where(emit, eb, wb)
+    # flag bits: 0 = firefly-clamp, 1 = emit, 2 = started (queue take)
+    rec_refs[3][0] = (cf.astype(jnp.int32)
+                      | (emit.astype(jnp.int32) << 1)
+                      | (take.astype(jnp.int32) << 2))
     seg_ref[t, j] = jnp.sum(alive.astype(jnp.int32))
     if st["has_image"]:
-        for ref, val in zip(rec_refs[8:], img_out):
+        for ref, val in zip(rec_refs[4:], img_out):
             ref[0] = val
     # depth cap (camera.go:293-296)
     alive_out = jnp.logical_and(alive_out, depth < max_depth)
@@ -1965,7 +1970,7 @@ def _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
     f32 = jnp.float32
     i32 = jnp.int32
     n_img = 4 if st["has_image"] else 0
-    rec_dtypes = [f32] * 6 + [i32, i32] + [f32] * n_img
+    rec_dtypes = [f32] * 3 + [i32] + [f32] * n_img
     rec_shape = (n_inner, rows, LANE)
     out_specs = ([rec_spec] * len(rec_dtypes)
                  + [pl.BlockSpec((n_tiles, n_inner), lambda j, t: (0, 0),
@@ -1998,8 +2003,8 @@ def _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
 
     unp = lambda x: x.reshape(n)
     n_rec = len(rec_dtypes)
-    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:8])
-    img_planes = tuple(x.reshape(n_inner, n) for x in outs[8:n_rec]) \
+    rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:4])
+    img_planes = tuple(x.reshape(n_inner, n) for x in outs[4:n_rec]) \
         if n_img else None
     seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
     state_out = tuple(unp(x) for x in outs[n_rec + 1:])
@@ -2014,7 +2019,8 @@ def bounce_fused_q(scene_tables, statics, cam_row, bg, seed4,
     PER-STEP dynamic-queue refill (see `_fused_q_kernel`). seed4 =
     [step seed, refill steps remaining, next item id, item_end] (int32).
     Returns (rec_planes, img_planes, seg_counts, state...): rec_planes =
-    (Er, Eg, Eb, Wr, Wg, Wb, cf_i32, started_i32), each (n_inner, N);
+    (Vr, Vg, Vb, fl_i32) — merged E/W value planes + flag bits (bit0
+    clamp, bit1 emit, bit2 started), each (n_inner, N);
     state = (o xyz, d xyz, time, alive_i32, depth). The caller recovers
     per-level item bases as next_item + exclusive-cumsum of the per-level
     started counts (items are assigned contiguously per level in flat

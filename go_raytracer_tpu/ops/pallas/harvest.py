@@ -118,10 +118,12 @@ def _compact_planes(started_i32, planes, rows: int, n_stages: int):
 
 def _harvest_kernel(cadence, refill_outer, s_total, rows, n_stages,
                     max_contribution, per_level,
-                    er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
-                    cf_ref, st_ref,
-                    hr_ref, hg_ref, hb_ref,
-                    lr_ref, lg_ref, lb_ref):
+                    vr_ref, vg_ref, vb_ref, fl_ref, *rest):
+    if per_level:
+        st_ref = None
+        hr_ref, hg_ref, hb_ref, lr_ref, lg_ref, lb_ref = rest
+    else:
+        st_ref, hr_ref, hg_ref, hb_ref, lr_ref, lg_ref, lb_ref = rest
     i = pl.program_id(0)
     s_flat = s_total - 1 - i             # bounce level, descending
     if per_level:
@@ -139,13 +141,17 @@ def _harvest_kernel(cadence, refill_outer, s_total, rows, n_stages,
         lg_ref[...] = z
         lb_ref[...] = z
 
-    raw_r = er_ref[0] + wr_ref[0] * lr_ref[...]
-    raw_g = eg_ref[0] + wg_ref[0] * lg_ref[...]
-    raw_b = eb_ref[0] + wb_ref[0] * lb_ref[...]
+    # merged V/FL records: raw = emit ? V : V * L (a vertex never has
+    # both an emission and a scatter weight — materials.go)
+    fl = fl_ref[0]
+    emit = (fl & 2) != 0
+    raw_r = jnp.where(emit, vr_ref[0], vr_ref[0] * lr_ref[...])
+    raw_g = jnp.where(emit, vg_ref[0], vg_ref[0] * lg_ref[...])
+    raw_b = jnp.where(emit, vb_ref[0], vb_ref[0] * lb_ref[...])
     # firefly clamp (camera.go:334-341): rescale so the component sum is
     # <= max_contribution; NaN sums compare false (Go parity)
     s = raw_r + raw_g + raw_b
-    over = (cf_ref[0] != 0) & (s > max_contribution)
+    over = ((fl & 1) != 0) & (s > max_contribution)
     scale = jnp.where(over, max_contribution / jnp.where(over, s, 1.0), 1.0)
     lr = raw_r * scale
     lg = raw_g * scale
@@ -153,7 +159,7 @@ def _harvest_kernel(cadence, refill_outer, s_total, rows, n_stages,
 
     @pl.when(is_refill)
     def _harvest():
-        started = st_ref[0]
+        started = ((fl >> 2) & 1) if per_level else st_ref[0]
         keep = started != 0
         hr = jnp.where(keep, lr, 0.0)
         hg = jnp.where(keep, lg, 0.0)
@@ -177,18 +183,20 @@ def _harvest_kernel(cadence, refill_outer, s_total, rows, n_stages,
 @functools.partial(
     jax.jit, static_argnames=("cadence", "refill_outer", "max_contribution",
                               "interpret"))
-def reverse_harvest(Er, Eg, Eb, Wr, Wg, Wb, CF, STs, *, cadence,
+def reverse_harvest(Vr, Vg, Vb, FL, STs, *, cadence,
                     refill_outer, max_contribution, interpret=False):
     """Fused reverse clamp recursion + started-lane row compaction.
 
-    Inputs: E*/W* (outer, cadence, N) f32 record planes, CF (outer,
-    cadence, N) int32 clamp flags, STs (outer, N) int32 started flags
-    (only the first `refill_outer` rows can hold starts). Returns
+    Inputs: V* (outer, cadence, N) f32 MERGED record planes (emission or
+    weight — disjoint by material semantics), FL (outer, cadence, N)
+    int32 flag bits (bit0 clamp, bit1 emit), STs (outer, N) int32
+    started flags (only the first `refill_outer` rows can hold starts).
+    Returns
     (hr, hg, hb), each (refill_outer, N) f32: row r's started lanes'
     finished path radiances packed to the row front in lane order —
     exactly the stable-sort compaction of the XLA reverse-scan harvest
     (integrator/regen.py), bit-identical permutation."""
-    outer, cad, n = Er.shape
+    outer, cad, n = Vr.shape
     assert cad == cadence and n % LANE == 0
     rows = n // LANE
     s_total = outer * cadence
@@ -217,25 +225,25 @@ def reverse_harvest(Er, Eg, Eb, Wr, Wg, Wb, CF, STs, *, cadence,
     outs = pl.pallas_call(
         kernel,
         grid=(s_total,),
-        in_specs=[rec_spec] * 7 + [st_spec],
+        in_specs=[rec_spec] * 4 + [st_spec],
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((refill_outer, rows, LANE), f32)] * 3,
         scratch_shapes=[pltpu.VMEM((rows, LANE), f32)] * 3,
         compiler_params=params,
         interpret=interpret,
-    )(plane(Er), plane(Eg), plane(Eb), plane(Wr), plane(Wg), plane(Wb),
-      plane(CF.astype(jnp.int32)), st3.astype(jnp.int32))
+    )(plane(Vr), plane(Vg), plane(Vb),
+      plane(FL.astype(jnp.int32)), st3.astype(jnp.int32))
     return tuple(x.reshape(refill_outer, n) for x in outs)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cadence", "refill_levels", "max_contribution",
                               "interpret"))
-def reverse_harvest_levels(Er, Eg, Eb, Wr, Wg, Wb, CF, STl, *, cadence,
+def reverse_harvest_levels(Vr, Vg, Vb, FL, *, cadence,
                            refill_levels, max_contribution, interpret=False):
     """`reverse_harvest` for the in-kernel-queue records (bounce_fused_q):
     paths can start at EVERY bounce level within the refill span, so the
-    started flags arrive per level (STl (outer, cadence, N) int32) and the
+    started flag rides FL's bit 2 per level, and the
     compaction runs at each of the first `refill_levels` levels. Returns
     (hr, hg, hb), each (refill_levels, N) f32 — the per-level analog of
     the XLA sort epilogue in integrator/regen.py's queue_ik branch, same
@@ -243,9 +251,8 @@ def reverse_harvest_levels(Er, Eg, Eb, Wr, Wg, Wb, CF, STl, *, cadence,
     cadence-4 queue's at the default refill), this kernel's pass count is
     fixed at one grid step per recorded level regardless of how many can
     start."""
-    outer, cad, n = Er.shape
+    outer, cad, n = Vr.shape
     assert cad == cadence and n % LANE == 0
-    assert STl.shape == (outer, cad, n)
     rows = n // LANE
     s_total = outer * cadence
     n_stages = max(1, (n - 1).bit_length())
@@ -266,12 +273,11 @@ def reverse_harvest_levels(Er, Eg, Eb, Wr, Wg, Wb, CF, STl, *, cadence,
     outs = pl.pallas_call(
         kernel,
         grid=(s_total,),
-        in_specs=[rec_spec] * 8,
+        in_specs=[rec_spec] * 4,
         out_specs=[out_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((refill_levels, rows, LANE), f32)] * 3,
         scratch_shapes=[pltpu.VMEM((rows, LANE), f32)] * 3,
         compiler_params=params,
         interpret=interpret,
-    )(plane(Er), plane(Eg), plane(Eb), plane(Wr), plane(Wg), plane(Wb),
-      plane(CF.astype(jnp.int32)), plane(STl.astype(jnp.int32)))
+    )(plane(Vr), plane(Vg), plane(Vb), plane(FL.astype(jnp.int32)))
     return tuple(x.reshape(refill_levels, n) for x in outs)

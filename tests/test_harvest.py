@@ -41,11 +41,15 @@ def _ref(E, W, CF, STs, refill_outer, max_contribution):
 
 
 def _run_kernel(E, W, CF, STs, cadence, refill_outer, max_contribution):
+    # merged V/FL record format (round 4): V = E where the vertex emits
+    # (disjoint from W by material semantics), FL bits = clamp | emit<<1
+    emit = np.isnan(E).any(axis=-1) | (E != 0.0).any(axis=-1)
+    V = np.where(emit[..., None], E, W)
+    FL = CF.astype(np.int32) | (emit.astype(np.int32) << 1)
     comp = lambda x, c: jnp.asarray(x[..., c], jnp.float32)
     hr, hg, hb = ph.reverse_harvest(
-        comp(E, 0), comp(E, 1), comp(E, 2),
-        comp(W, 0), comp(W, 1), comp(W, 2),
-        jnp.asarray(CF, jnp.int32), jnp.asarray(STs, jnp.int32),
+        comp(V, 0), comp(V, 1), comp(V, 2),
+        jnp.asarray(FL, jnp.int32), jnp.asarray(STs, jnp.int32),
         cadence=cadence, refill_outer=refill_outer,
         max_contribution=max_contribution, interpret=True)
     return np.stack([np.asarray(hr), np.asarray(hg), np.asarray(hb)],
@@ -61,6 +65,10 @@ def _make_window(rs, outer, cadence, n, refill_outer, p_start=0.3,
     W = rs.uniform(0.0, 1.0, size=(outer, cadence, n, 3)).astype(np.float32)
     term = rs.uniform(size=(outer, cadence, n)) < p_term
     W[term] = 0.0
+    # emission only at terminal vertices (lights/background terminate,
+    # scatterers don't emit) — the invariant the merged V/FL record
+    # format encodes
+    E[~term] = 0.0
     CF = rs.uniform(size=(outer, cadence, n)) < p_clamp
     STs = np.zeros((outer, n), bool)
     STs[:refill_outer] = rs.uniform(size=(refill_outer, n)) < p_start
