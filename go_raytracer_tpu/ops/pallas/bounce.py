@@ -917,9 +917,15 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         mat_pdf = cosine_pdf
     pdf_value = 0.5 * l_pdf + 0.5 * mat_pdf
     ratio = jnp.where(diffuse, mat_pdf, 0.0) / jnp.where(diffuse, pdf_value, 1.0)
-    wr = jnp.where(diffuse, tex_r * ratio, 0.0)
-    wg = jnp.where(diffuse, tex_g * ratio, 0.0)
-    wb = jnp.where(diffuse, tex_b * ratio, 0.0)
+    # merged V plane: the vertex's emission OR scatter weight (disjoint
+    # by material semantics — lights/background terminate, scatterers
+    # don't emit). Building V in place keeps only three color values
+    # live through the metal/dielectric sections (the six-value form
+    # measured 10-48% slower on register-tight scenes: media, book1).
+    emit = miss | e_on
+    vr = jnp.where(emit, er, jnp.where(diffuse, tex_r * ratio, 0.0))
+    vg = jnp.where(emit, eg, jnp.where(diffuse, tex_g * ratio, 0.0))
+    vb = jnp.where(emit, eb, jnp.where(diffuse, tex_b * ratio, 0.0))
     ndx = gdx
     ndy = gdy
     ndz = gdz
@@ -938,9 +944,9 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         rx = rx + mat["fr"] * rf * jnp.cos(phif)
         ry = ry + mat["fr"] * rf * jnp.sin(phif)
         rz = rz + mat["fr"] * zf
-        wr = jnp.where(is_metal, tex_r, wr)
-        wg = jnp.where(is_metal, tex_g, wg)
-        wb = jnp.where(is_metal, tex_b, wb)
+        vr = jnp.where(is_metal, tex_r, vr)
+        vg = jnp.where(is_metal, tex_g, vg)
+        vb = jnp.where(is_metal, tex_b, vb)
         ndx = jnp.where(is_metal, rx, ndx)
         ndy = jnp.where(is_metal, ry, ndy)
         ndz = jnp.where(is_metal, rz, ndz)
@@ -971,21 +977,18 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         ddx = jnp.where(do_reflect, rfx, tx)
         ddy = jnp.where(do_reflect, rfy, ty)
         ddz = jnp.where(do_reflect, rfz, tz)
-        wr = jnp.where(is_diel, 1.0, wr)
-        wg = jnp.where(is_diel, 1.0, wg)
-        wb = jnp.where(is_diel, 1.0, wb)
+        vr = jnp.where(is_diel, 1.0, vr)
+        vg = jnp.where(is_diel, 1.0, vg)
+        vb = jnp.where(is_diel, 1.0, vb)
         ndx = jnp.where(is_diel, ddx, ndx)
         ndy = jnp.where(is_diel, ddy, ndy)
         ndz = jnp.where(is_diel, ddz, ndz)
 
     dead = ~alive
     zero = jnp.zeros_like(ox)
-    er = jnp.where(dead, zero, er)
-    eg = jnp.where(dead, zero, eg)
-    eb = jnp.where(dead, zero, eb)
-    wr = jnp.where(dead, zero, wr)
-    wg = jnp.where(dead, zero, wg)
-    wb = jnp.where(dead, zero, wb)
+    vr = jnp.where(dead, zero, vr)
+    vg = jnp.where(dead, zero, vg)
+    vb = jnp.where(dead, zero, vb)
     cf = diffuse & alive
     nox = jnp.where(lit, hx, ox)
     noy = jnp.where(lit, hy, oy)
@@ -1010,7 +1013,7 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         img_out = (ratio, uu, vv, img_id)
     else:
         img_out = (zero, zero, zero, zero)
-    return (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+    return (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz,
             alive_out, img_out)
 
 
@@ -1025,7 +1028,7 @@ def _bounce_kernel(st, n_u_tot,
                    *img_refs):
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     u = [u_ref[k] for k in range(n_u_tot)]
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
+    (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
      img_out) = \
         _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
@@ -1033,12 +1036,13 @@ def _bounce_kernel(st, n_u_tot,
                      time_ref[:], alive_ref[:] > 0, u)
     for ref, val in zip(img_refs, img_out):
         ref[:] = val
-    er_ref[:] = er
-    eg_ref[:] = eg
-    eb_ref[:] = eb
-    wr_ref[:] = wr
-    wg_ref[:] = wg
-    wb_ref[:] = wb
+    zero = jnp.zeros_like(vr)
+    er_ref[:] = jnp.where(emit, vr, zero)
+    eg_ref[:] = jnp.where(emit, vg, zero)
+    eb_ref[:] = jnp.where(emit, vb, zero)
+    wr_ref[:] = jnp.where(emit, zero, vr)
+    wg_ref[:] = jnp.where(emit, zero, vg)
+    wb_ref[:] = jnp.where(emit, zero, vb)
     cf_ref[:] = cf.astype(jnp.int32)
     nox_ref[:] = nox
     noy_ref[:] = noy
@@ -1279,14 +1283,13 @@ def _fused_kernel(st, has_defocus, max_depth, n_inner,
 
     for j in range(n_inner):
         u = [u01(N_U_RAYGEN + j * n_u_step + k) for k in range(n_u_step)]
-        (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+        (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz,
          alive_out, img_out) = \
             _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                          ox, oy, oz, dx, dy, dz, tm, alive, u)
-        emit = (er != 0.0) | (eg != 0.0) | (eb != 0.0)
-        rec_refs[0][j, :, :] = jnp.where(emit, er, wr)
-        rec_refs[1][j, :, :] = jnp.where(emit, eg, wg)
-        rec_refs[2][j, :, :] = jnp.where(emit, eb, wb)
+        rec_refs[0][j, :, :] = vr
+        rec_refs[1][j, :, :] = vg
+        rec_refs[2][j, :, :] = vb
         rec_refs[3][j, :, :] = (cf.astype(jnp.int32)
                                 | (emit.astype(jnp.int32) << 1))
         # whole (n_tiles, n_inner) SMEM buffer mapped to every grid step
@@ -1552,16 +1555,17 @@ def _fused_pos_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
 
         # ---- the bounce itself
         u = [u01(base + N_U_RAYGEN + k) for k in range(n_u_step)]
-        (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+        (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz,
          alive_out, img_out) = \
             _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                          ox, oy, oz, dx, dy, dz, tm, alive, u)
-        rec_refs[0][j, :, :] = er
-        rec_refs[1][j, :, :] = eg
-        rec_refs[2][j, :, :] = eb
-        rec_refs[3][j, :, :] = wr
-        rec_refs[4][j, :, :] = wg
-        rec_refs[5][j, :, :] = wb
+        zero_p = jnp.zeros_like(vr)
+        rec_refs[0][j, :, :] = jnp.where(emit, vr, zero_p)
+        rec_refs[1][j, :, :] = jnp.where(emit, vg, zero_p)
+        rec_refs[2][j, :, :] = jnp.where(emit, vb, zero_p)
+        rec_refs[3][j, :, :] = jnp.where(emit, zero_p, vr)
+        rec_refs[4][j, :, :] = jnp.where(emit, zero_p, vg)
+        rec_refs[5][j, :, :] = jnp.where(emit, zero_p, vb)
         rec_refs[6][j, :, :] = cf.astype(jnp.int32)
         seg_ref[pl.program_id(0), j] = jnp.sum(alive.astype(jnp.int32))
         if st["has_image"]:
@@ -1896,14 +1900,13 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
     # ---- the bounce itself ---------------------------------------------
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     u = [u01(N_U_RAYGEN + k) for k in range(n_u_step)]
-    (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz,
+    (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz,
      alive_out, img_out) = \
         _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                      ox, oy, oz, dx, dy, dz, tm, alive, u)
-    emit = (er != 0.0) | (eg != 0.0) | (eb != 0.0)
-    rec_refs[0][0] = jnp.where(emit, er, wr)
-    rec_refs[1][0] = jnp.where(emit, eg, wg)
-    rec_refs[2][0] = jnp.where(emit, eb, wb)
+    rec_refs[0][0] = vr
+    rec_refs[1][0] = vg
+    rec_refs[2][0] = vb
     # flag bits: 0 = firefly-clamp, 1 = emit, 2 = started (queue take)
     rec_refs[3][0] = (cf.astype(jnp.int32)
                       | (emit.astype(jnp.int32) << 1)
