@@ -1099,13 +1099,20 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                        "fused" if inkernel else "xla"),
                    early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1")
 
-    dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
-    state = tuple(dev(x) for x in _init_state(n, dtype))
-
     spec = P(axis)
     rep = P()
     shard = NamedSharding(mesh, spec)
-    state = tuple(jax.device_put(s, shard) for s in state)
+
+    # materialize the initial sharded state ON DEVICE via out_shardings:
+    # eager device_put with a NamedSharding reshards THROUGH THE HOST on
+    # the tunneled backend (measured ~0.7 s hidden in the first window's
+    # sync for a 131k-lane pool — 6x the whole window)
+    @functools.partial(jax.jit, out_shardings=shard)
+    def _sharded_state():
+        dev = lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape)
+        return tuple(dev(x) for x in _init_state(n, dtype))
+
+    state = _sharded_state()
 
     # "auto" matches render_regen's resolution
     if schedule == "positional":
@@ -1117,10 +1124,12 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
             cadence=cadence, n_u=n_u, use_pallas=use_pallas,
             interpret=statics["interpret"])
 
-    acc = jnp.zeros((n_dev, chunk + n, 3), dtype)
-    next_items = jnp.arange(n_dev, dtype=jnp.int32) * chunk
-    acc = jax.device_put(acc, shard)
-    next_items = jax.device_put(next_items, shard)
+    @functools.partial(jax.jit, out_shardings=(shard, shard))
+    def _sharded_acc():
+        return (jnp.zeros((n_dev, chunk + n, 3), dtype),
+                jnp.arange(n_dev, dtype=jnp.int32) * chunk)
+
+    acc, next_items = _sharded_acc()
 
     def body(scene_a, arrays_a, acc_s, state_s, next_s, wkey):
         i = jax.lax.axis_index(axis)
@@ -1152,7 +1161,7 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         body, mesh=mesh,
         in_specs=(rep, rep, spec, spec, spec, rep),
         out_specs=(spec, spec, spec, rep, rep, rep, rep),
-        check_vma=False))
+        check_vma=False), donate_argnums=(2, 3, 4))
 
     segments = 0
     seg_per_shard = np.zeros(n_dev, dtype=np.int64)

@@ -352,8 +352,9 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
         sd = lambda v: jnp.where(jnp.abs(v) < tiny,
                                  jnp.where(v < 0, -tiny, tiny), v)
         ix_, iy_, iz_ = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+        n_p = t_best.shape[0]
         best_near = jnp.full_like(t_best, jnp.inf)
-        best_k = jnp.full((n,), k_cl, jnp.int32)
+        best_k = jnp.full((n_p,), k_cl, jnp.int32)
         shifts = jnp.arange(32, dtype=jnp.int32)[None, :]
 
         for c in range(k_pad // chunk):
@@ -380,7 +381,7 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
                 [jnp.bitwise_and(
                     jnp.right_shift(masks[c * 4 + m][:, None], shifts), 1)
                  for m in range(4) if c * 4 + m < n_mask]
-                + [jnp.zeros((n, 32), jnp.int32)] * max(0, 4 - (n_mask - c * 4)),
+                + [jnp.zeros((n_p, 32), jnp.int32)] * max(0, 4 - (n_mask - c * 4)),
                 axis=1)[:, :chunk]
             ok = hit & (proc == 0)
             nearm = jnp.where(ok, near, jnp.inf)
@@ -395,64 +396,95 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
         best_k = jnp.where(has, best_k, k_cl)
         return best_k, has
 
-    def cond(state):
-        return (state[0] < max_iters) & (state[-1] > 0)
+    def make_body(n_p):
+        rows_p = n_p // _BIN_LANE
+        blocks_p = rows_p // _BIN_ROWS
 
-    def body(state):
-        (i, ox, oy, oz, dx, dy, dz, t_best, idx, masks, io, key,
-         _) = state
-        sorted_ = jax.lax.sort(
-            (key, ox, oy, oz, dx, dy, dz, t_best, idx, io) + masks,
-            dimension=0, num_keys=1, is_stable=False)
-        (key_s, ox, oy, oz, dx, dy, dz, t_best, idx, io) = sorted_[:10]
-        masks = sorted_[10:]
-        kb = key_s.reshape(blocks, _BIN_ROWS * _BIN_LANE)
-        blk_first = kb[:, 0]
-        # last REAL (non-sentinel) key in the block; keys ascend, so the
-        # sentinel lanes are a suffix
-        blk_last = jnp.max(jnp.where(kb < k_cl, kb, -1), axis=1)
-        empty = blk_last < 0
-        glo = jnp.where(empty, 0, gs[jnp.clip(blk_first, 0, k_cl - 1)])
-        ghi = jnp.where(empty, 0,
-                        gs[jnp.clip(blk_last, 0, k_cl - 1) + 1])
-        # mark every cluster in the block range processed, per lane
-        ca = jnp.repeat(blk_first, _BIN_ROWS * _BIN_LANE)
-        cb = jnp.repeat(blk_last, _BIN_ROWS * _BIN_LANE)
-        new_masks = []
-        for m in range(n_mask):
-            lo_b = jnp.clip(ca - 32 * m, 0, 32)
-            hi_b = jnp.clip(cb + 1 - 32 * m, 0, 32)
-            # bits [lo_b, hi_b): ((1<<hi)-1) ^ ((1<<lo)-1), with <<32
-            # avoided via the -1 form
-            full = jnp.int32(-1)
-            hi_bits = jnp.where(hi_b >= 32, full,
-                                (jnp.int32(1) << hi_b) - 1)
-            lo_bits = jnp.where(lo_b >= 32, full,
-                                (jnp.int32(1) << lo_b) - 1)
-            new_masks.append(masks[m] | (hi_bits & ~lo_bits))
-        masks = tuple(new_masks)
-        plane = lambda x: x.reshape(rows, _BIN_LANE)
-        t2, idx2 = pstream.stream_rows(
-            bvh.cl_lines, glo, ghi, plane(ox), plane(oy), plane(oz),
-            plane(dx), plane(dy), plane(dz), plane(t_best), plane(idx),
-            interpret=interpret)
-        t_best = t2.reshape(n)
-        idx = idx2.reshape(n)
-        # candidates for the NEXT round computed at the tail so the loop
-        # exits right after the last productive stream (no trailing
-        # sort+stream over an all-sentinel pool)
-        bk, has = candidates(ox, oy, oz, dx, dy, dz, t_best, masks)
-        key = jnp.where(has, bk, jnp.int32(k_cl))
-        n_active = jnp.sum(has.astype(jnp.int32))
-        return (i + 1, ox, oy, oz, dx, dy, dz, t_best, idx, masks, io,
-                key, n_active)
+        def body(state):
+            (i, ox, oy, oz, dx, dy, dz, t_best, idx, masks, io, key,
+             _) = state
+            sorted_ = jax.lax.sort(
+                (key, ox, oy, oz, dx, dy, dz, t_best, idx, io) + masks,
+                dimension=0, num_keys=1, is_stable=False)
+            (key_s, ox, oy, oz, dx, dy, dz, t_best, idx, io) = sorted_[:10]
+            masks = sorted_[10:]
+            kb = key_s.reshape(blocks_p, _BIN_ROWS * _BIN_LANE)
+            blk_first = kb[:, 0]
+            # last REAL (non-sentinel) key in the block; keys ascend, so
+            # the sentinel lanes are a suffix
+            blk_last = jnp.max(jnp.where(kb < k_cl, kb, -1), axis=1)
+            empty = blk_last < 0
+            glo = jnp.where(empty, 0, gs[jnp.clip(blk_first, 0, k_cl - 1)])
+            ghi = jnp.where(empty, 0,
+                            gs[jnp.clip(blk_last, 0, k_cl - 1) + 1])
+            # mark every cluster in the block range processed, per lane
+            ca = jnp.repeat(blk_first, _BIN_ROWS * _BIN_LANE)
+            cb = jnp.repeat(blk_last, _BIN_ROWS * _BIN_LANE)
+            new_masks = []
+            for m in range(n_mask):
+                lo_b = jnp.clip(ca - 32 * m, 0, 32)
+                hi_b = jnp.clip(cb + 1 - 32 * m, 0, 32)
+                # bits [lo_b, hi_b): ((1<<hi)-1) ^ ((1<<lo)-1), with <<32
+                # avoided via the -1 form
+                full = jnp.int32(-1)
+                hi_bits = jnp.where(hi_b >= 32, full,
+                                    (jnp.int32(1) << hi_b) - 1)
+                lo_bits = jnp.where(lo_b >= 32, full,
+                                    (jnp.int32(1) << lo_b) - 1)
+                new_masks.append(masks[m] | (hi_bits & ~lo_bits))
+            masks = tuple(new_masks)
+            plane = lambda x: x.reshape(rows_p, _BIN_LANE)
+            t2, idx2 = pstream.stream_rows(
+                bvh.cl_lines, glo, ghi, plane(ox), plane(oy), plane(oz),
+                plane(dx), plane(dy), plane(dz), plane(t_best), plane(idx),
+                interpret=interpret)
+            t_best = t2.reshape(n_p)
+            idx = idx2.reshape(n_p)
+            # candidates for the NEXT round computed at the tail so the
+            # loop exits right after the last productive stream (no
+            # trailing sort+stream over an all-sentinel pool)
+            bk, has = candidates(ox, oy, oz, dx, dy, dz, t_best, masks)
+            key = jnp.where(has, bk, jnp.int32(k_cl))
+            n_active = jnp.sum(has.astype(jnp.int32))
+            return (i + 1, ox, oy, oz, dx, dy, dz, t_best, idx, masks,
+                    io, key, n_active)
+
+        return body
 
     bk0, has0 = candidates(ox, oy, oz, dx, dy, dz, t0, masks0)
     key0 = jnp.where(has0, bk0, jnp.int32(k_cl))
     state = (jnp.int32(0), ox, oy, oz, dx, dy, dz, t0, idx0, masks0,
              iota, key0, jnp.sum(has0.astype(jnp.int32)))
-    state = jax.lax.while_loop(cond, body, state)
-    t_best, idx, io = state[7], state[8], state[10]
+    # TAIL-ROUND POOL SHRINK: round cost is dominated by fixed sort/
+    # candidate work over the whole pool, but actives decay fast (round
+    # counts ~4-6, the last rounds at <12% active — measured round 4).
+    # Phase 1 runs full-pool rounds while actives > n/8; one compaction
+    # sort then confines the survivors to the pool's first n/8 lanes and
+    # phase 2 finishes them on that prefix slice at 1/8 the fixed cost.
+    thresh = max(tile, n // 8)
+    if thresh < n:
+        state = jax.lax.while_loop(
+            lambda s: (s[0] < max_iters) & (s[-1] > thresh),
+            make_body(n), state)
+        (i1, ox1, oy1, oz1, dx1, dy1, dz1, t1, idx1, masks1, io1, key1,
+         na1) = state
+        packed = jax.lax.sort(
+            (key1, ox1, oy1, oz1, dx1, dy1, dz1, t1, idx1, io1) + masks1,
+            dimension=0, num_keys=1, is_stable=False)
+        head = tuple(x[:thresh] for x in packed)
+        tail = tuple(x[thresh:] for x in packed)
+        sub = (i1,) + head[1:9] + (head[10:], head[9], head[0], na1)
+        sub = jax.lax.while_loop(
+            lambda s: (s[0] < max_iters) & (s[-1] > 0),
+            make_body(thresh), sub)
+        t_best = jnp.concatenate([sub[7], tail[7]])
+        idx = jnp.concatenate([sub[8], tail[8]])
+        io = jnp.concatenate([sub[10], tail[9]])
+    else:
+        state = jax.lax.while_loop(
+            lambda s: (s[0] < max_iters) & (s[-1] > 0),
+            make_body(n), state)
+        t_best, idx, io = state[7], state[8], state[10]
     # undo the pool permutation (sorting by the carried iota restores
     # original lane order exactly)
     _, t_o, i_o = jax.lax.sort((io, t_best, idx), dimension=0, num_keys=1,
