@@ -428,7 +428,6 @@ class SceneBuilder:
             cl = cl_mod.partition(
                 fb, v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
                 max_tris=max_tris)
-            cl_ng = np.diff(cl.group_start)
             tri_bvh = T.TriBVH(
                 node_min=f(fb.node_min), node_max=f(fb.node_max),
                 first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
@@ -440,8 +439,7 @@ class SceneBuilder:
                 cl_lo=jnp.asarray(cl.aabb_lo),
                 cl_hi=jnp.asarray(cl.aabb_hi),
                 cl_gs=jnp.asarray(cl.group_start),
-                cl_lines=jnp.asarray(cl.tri_lines),
-                cl_max_groups=int(cl_ng.max()) if cl_ng.size else 0)
+                cl_lines=jnp.asarray(cl.tri_lines))
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

@@ -259,7 +259,6 @@ class TriBVH:
     cl_hi: jnp.ndarray = None    # (K, 3) cluster box max
     cl_gs: jnp.ndarray = None    # (K + 1,) i32 group offsets
     cl_lines: jnp.ndarray = None  # packed tri-group register lines
-    cl_max_groups: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
