@@ -203,11 +203,12 @@ def cornell_box():
     # Under the in-kernel queue (schedule=queue_ik, the default) the
     # refill runs at EVERY bounce level regardless of cadence, so cadence
     # is pure XLA-shell amortization — no occupancy tradeoff. Measured on
-    # the v5e at the full 100spp config: c4 564M vs c2 517M rays/s
-    # (docs/PERFORMANCE.md round-3 notes).
+    # the v5e at the full 100spp config AFTER the round-4 record merge
+    # (cheaper per-level writes shifted the optimum up): c8 654-673M vs
+    # c4 637-642M, c12 609-650M, c16 551-555M, c2 570M.
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=100,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=4, regen_len=2.93)
+                 regen_cadence=8, regen_len=2.93)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
