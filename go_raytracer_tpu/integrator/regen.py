@@ -1142,25 +1142,23 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
         # cursor = [next_item, seg_lo, seg_hi] (30-bit segment words; a
         # whole-render window can exceed int32 segments on large configs)
         next2, seg_lo, seg_hi = cur[0], cur[1], cur[2]
-        # replicated outputs (psum over ICI) so the host loop never reads a
-        # sharded array — required for multi-host operation; lo/hi words
-        # are reduced separately (lo sums stay < n_dev * 2^30 for any
-        # realistic mesh) and recombined on host
-        seg_all = jnp.stack([jax.lax.psum(seg_lo, axis),
-                             jax.lax.psum(seg_hi, axis)])
+        # replicated outputs so the host loop never reads a sharded array —
+        # required for multi-host operation. Segment words are NOT psum'd
+        # on device: each per-shard lo word is < 2^30 by construction, but
+        # their int32 sum overflows once n_dev * lo >= 2^31; the
+        # all-gathered per-shard vector (tiny, once per window) carries the
+        # exact words and the host sums them in int64
         done_all = jax.lax.psum((next2 >= end).astype(jnp.int32), axis)
         rem_all = jax.lax.psum(jnp.maximum(end - next2, 0), axis)
-        # per-shard segment counts for the work-balance metric, gathered to
-        # a replicated vector (tiny, once per window)
         seg_vec = jnp.stack([jax.lax.all_gather(seg_lo, axis),
                              jax.lax.all_gather(seg_hi, axis)])
         return (acc2[None], tuple(x[None] for x in state2), next2[None],
-                seg_all, done_all, rem_all, seg_vec)
+                done_all, rem_all, seg_vec)
 
     sharded_window = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(rep, rep, spec, spec, spec, rep),
-        out_specs=(spec, spec, spec, rep, rep, rep, rep),
+        out_specs=(spec, spec, spec, rep, rep, rep),
         check_vma=False), donate_argnums=(2, 3, 4))
 
     segments = 0
@@ -1182,11 +1180,11 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
 
     def sync(cur):
         nonlocal segments, seg_per_shard, rem_i, s_est, done
-        seg_all, done_all, rem_all, seg_vec = cur
-        seg_np = np.asarray(seg_all, dtype=np.int64)
-        segments += int(seg_np[0]) + (int(seg_np[1]) << 30)
+        done_all, rem_all, seg_vec = cur
         vec = np.asarray(seg_vec, dtype=np.int64)
-        seg_per_shard += vec[0] + (vec[1] << 30)
+        shard_segs = vec[0] + (vec[1] << 30)
+        segments += int(shard_segs.sum())
+        seg_per_shard += shard_segs
         rem_new = int(rem_all)
         if rem_i is not None and rem_i > rem_new:
             s_est = rem_i - rem_new
@@ -1201,10 +1199,10 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
             continue
         wt0 = _time.perf_counter()
         wkey = jax.random.fold_in(key, n_windows)
-        (acc, state, next_items, seg_all, done_all, rem_all,
+        (acc, state, next_items, done_all, rem_all,
          seg_vec) = sharded_window(scene, arrays, acc, state, next_items,
                                    wkey)
-        cur = (seg_all, done_all, rem_all, seg_vec)
+        cur = (done_all, rem_all, seg_vec)
         n_windows += 1
         if pending is not None:
             sync(pending)
@@ -1362,7 +1360,7 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # schedule kept for experiments. Measured (v5e, cornell 100spp):
     # queue_ik 594M rays/s at occupancy 0.93 vs queue 252.9M.
     positional = schedule == "positional"
-    inkernel = (schedule in ("auto", "queue_ik") and not positional
+    inkernel = (schedule in ("auto", "queue_ik")
                 and use_pallas and not _auto_reorder(use_pallas, reorder))
     # Window length. The old queue pays a refill cumsum + harvest sort per
     # window, and 4x(depth+1) measured best there. The in-kernel queue

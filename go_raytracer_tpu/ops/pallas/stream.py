@@ -22,6 +22,7 @@ with the t interval (T_MIN, t_best), t_best seeded from the per-ray cap
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -100,19 +101,131 @@ def _stream_kernel(tri_ref, glo_ref, ghi_ref,
         idx_out[pl.ds(s, 1), :] = res[2 * s + 1]
 
 
+# chunk of the HBM-resident table staged per DMA: 64 line-blocks =
+# 512 groups = (512, 128) f32 = 256 KB; two slots double-buffer inside
+# ~1 MB of VMEM regardless of mesh size
+_CHUNK_LB = 64
+
+# tables at or under this stay fully VMEM-resident (the fast path: one
+# mapped block, zero DMA); beyond it (~196k triangles) the grid streams
+# group chunks from HBM. ~12 MB leaves headroom under the ~16 MB/core
+# physical VMEM for the ray planes + compiler temporaries.
+VMEM_TABLE_BYTES = int(
+    os.environ.get("GRT_STREAM_VMEM", 12 * 1024 * 1024))
+
+
+def _stream_kernel_hbm(tri_hbm, glo_ref, ghi_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       t_ref, idx_ref,
+                       t_out, idx_out, scratch, sems):
+    """stream_rows body for tables too large for VMEM: the packed group
+    table stays in HBM and each block double-buffers _CHUNK_LB line-block
+    chunks of its [glo, ghi) range through a 2-slot VMEM scratch. The
+    chunk row window is clamped to the table end (re-reading a few
+    already-seen groups is idempotent — closest-hit updates only)."""
+    i = pl.program_id(0)
+    glo = glo_ref[i]
+    ghi = ghi_ref[i]
+    total_rows = tri_hbm.shape[0]
+    chunk_rows = _CHUNK_LB * 8
+    lb_lo = glo >> 3
+    lb_hi = (ghi + 7) >> 3
+    n_chunks = pl.cdiv(jnp.maximum(lb_hi - lb_lo, 0), _CHUNK_LB)
+
+    def chunk_start_row(ci):
+        return jnp.minimum((lb_lo + ci * _CHUNK_LB) * 8,
+                           total_rows - chunk_rows)
+
+    def get_dma(slot, ci):
+        return pltpu.make_async_copy(
+            tri_hbm.at[pl.ds(chunk_start_row(ci), chunk_rows), :],
+            scratch.at[slot],
+            sems.at[slot])
+
+    rows = [
+        tuple(ref[pl.ds(s, 1), :] for ref in
+              (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+        for s in range(TILE_ROWS)
+    ]
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def chunk_body(ci, carry):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        start_lb = chunk_start_row(ci) >> 3
+        # groups of this chunk clipped to the block range; local entry
+        # index g - start_lb*8 preserves (>>3, &7) structure because
+        # start_lb*8 has zero low bits
+        g0 = jnp.maximum(glo, start_lb * 8)
+        g1 = jnp.minimum(ghi, (start_lb + _CHUNK_LB) * 8)
+
+        def g_body(g, carry):
+            e = _entry(scratch.at[slot], g - start_lb * 8)
+            out = []
+            for s in range(TILE_ROWS):
+                ox, oy, oz, dx, dy, dz = rows[s]
+                out.append(_mt_entry(e, ox, oy, oz, dx, dy, dz,
+                                     carry[2 * s], carry[2 * s + 1]))
+            return tuple(x for pair in out for x in pair)
+
+        return jax.lax.fori_loop(g0, g1, g_body, carry)
+
+    init = []
+    for s in range(TILE_ROWS):
+        init.append(t_ref[pl.ds(s, 1), :])
+        init.append(idx_ref[pl.ds(s, 1), :])
+    res = jax.lax.fori_loop(0, n_chunks, chunk_body, tuple(init))
+    for s in range(TILE_ROWS):
+        t_out[pl.ds(s, 1), :] = res[2 * s]
+        idx_out[pl.ds(s, 1), :] = res[2 * s + 1]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def stream_rows(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx, *,
                 interpret=False):
     """Stream each 8-row block's group range against its 1024 rays.
 
     Ray/t/idx planes are (rows, 128); glo/ghi are (rows//8,) i32 group
-    ranges per block (empty => untouched). Returns updated (t, idx)."""
+    ranges per block (empty => untouched). Returns updated (t, idx).
+
+    Tables <= VMEM_TABLE_BYTES are mapped whole into VMEM; larger tables
+    (Sponza-scale meshes) stay HBM-resident and are double-buffer DMA'd
+    per block chunk — identical winners either way."""
     rows = ox.shape[0]
     grid = (rows // TILE_ROWS,)
     row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
-    table_spec = pl.BlockSpec(tri_lines.shape, lambda i: (0, 0))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     table_bytes = tri_lines.size * 4
+    if table_bytes > VMEM_TABLE_BYTES:
+        chunk_rows = _CHUNK_LB * 8
+        if tri_lines.shape[0] < chunk_rows:  # tiny table can't clamp
+            pad = chunk_rows - tri_lines.shape[0]
+            tri_lines = jnp.concatenate(
+                [tri_lines, jnp.zeros((pad, LANE), tri_lines.dtype)])
+        t2, idx2 = pl.pallas_call(
+            _stream_kernel_hbm,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      smem_spec, smem_spec] + [row_spec] * 8,
+            out_specs=[row_spec] * 2,
+            out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                       jax.ShapeDtypeStruct((rows, LANE), jnp.int32)],
+            scratch_shapes=[
+                pltpu.VMEM((2, chunk_rows, LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx)
+        return t2, idx2
+    table_spec = pl.BlockSpec(tri_lines.shape, lambda i: (0, 0))
     params = {}
     if table_bytes > 8 * 1024 * 1024:
         params["compiler_params"] = pltpu.CompilerParams(

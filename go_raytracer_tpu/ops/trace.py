@@ -77,9 +77,14 @@ def _sphere_attrs(sp: T.Spheres, o, d, time, t, idx):
         jnp.arccos(jnp.where(interior, cy, 0.0)),
         jnp.where(cy > 0, 0.0, jnp.pi))
     # arctan2's backward at (0, 0) — the exact pole — is 0/0; feed the
-    # pole lanes (x=1, z=0), whose forward atan2 is the same 0
-    px = jnp.where(interior, outward[:, 0], 1.0)
-    pz = jnp.where(interior, -outward[:, 2], 0.0)
+    # exact-pole lanes (x=1, z=0), whose forward atan2 is the same 0.
+    # Gated on outward_x == 0 & outward_z == 0 (not on `interior`): a
+    # lane where -outward_y clipped to +/-1 but x/z are nonzero is an
+    # FP-degenerate normal whose reference phi is atan2(-z, x) + pi, not
+    # pi — rewriting those lanes would change the forward uv.
+    pole = (outward[:, 0] == 0.0) & (outward[:, 2] == 0.0)
+    px = jnp.where(pole, 1.0, outward[:, 0])
+    pz = jnp.where(pole, 0.0, -outward[:, 2])
     phi = jnp.arctan2(pz, px) + jnp.pi
     return p, normal, front, phi / (2.0 * jnp.pi), theta / jnp.pi, sp.mat_id[idx]
 
@@ -226,7 +231,11 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     if (bvh.cl_lines is not None
             and os.environ.get("GRT_MESH", "binned") == "binned"):
         # binned intersector (round 4, default): sorts the pool itself,
-        # so it replaces both the coherence sort and the walk below
+        # so it replaces both the coherence sort and the walk below.
+        # The stream kernel keeps the packed group table VMEM-resident
+        # when it fits (~12 MB of the ~16 MB/core budget, ~196k tris) and
+        # switches to double-buffered HBM group DMA beyond that
+        # (ops/pallas/stream.py, round 5) — same winners either way.
         return binned_closest(scene, o, d, t_cap, alive)
     n = o.shape[0]
     lo = bvh.node_min[0]
@@ -461,7 +470,10 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
     # Phase 1 runs full-pool rounds while actives > n/8; one compaction
     # sort then confines the survivors to the pool's first n/8 lanes and
     # phase 2 finishes them on that prefix slice at 1/8 the fixed cost.
-    thresh = max(tile, n // 8)
+    # rounded UP to a whole kernel tile: make_body reshapes the prefix
+    # into (blocks, 8*128) blocks, so a non-tile-multiple prefix (e.g.
+    # n = 9216 -> n//8 = 1152) would fail the reshape at trace time
+    thresh = max(tile, ((n // 8 + tile - 1) // tile) * tile)
     if thresh < n:
         state = jax.lax.while_loop(
             lambda s: (s[0] < max_iters) & (s[-1] > thresh),

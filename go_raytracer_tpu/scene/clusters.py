@@ -65,12 +65,9 @@ def partition(fb: FlatBVH, v0: np.ndarray, e0: np.ndarray, e1: np.ndarray,
 def _partition_once(fb: FlatBVH, v0, e0, e1, max_tris: int) -> Clusters:
     count = fb.count
     skip = fb.skip
-    order = fb.order
 
-    # subtree triangle counts: node i's subtree spans nodes [i, skip[i])
-    m = fb.n_nodes
-    sub_tris = np.zeros(m + 1, dtype=np.int64)
-    # suffix-sum of leaf counts in DFS node order lets us take ranges
+    # node i's subtree spans nodes [i, skip[i]); the prefix sum of leaf
+    # counts in DFS node order turns that into leaf-order tri ranges
     leaf_pref = np.concatenate([[0], np.cumsum(count)])
 
     def subtree_tris(i):
@@ -79,8 +76,6 @@ def _partition_once(fb: FlatBVH, v0, e0, e1, max_tris: int) -> Clusters:
     # leaf-order triangle start of node i's subtree = tris of nodes < i
     def subtree_first(i):
         return int(leaf_pref[i])
-
-    del sub_tris
 
     clusters = []          # (lo, hi, tri_start, tri_count)
     stack = [0]

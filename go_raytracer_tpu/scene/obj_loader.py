@@ -182,6 +182,8 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
             parts = line.strip().split()
             if parts and parts[0] == "mtllib" and len(parts) >= 2:
                 mtl_path = os.path.join(os.path.dirname(path), " ".join(parts[1:]))
+                if options.debug:
+                    print(f"Loading MTL file: {mtl_path}")  # objLoader.go:126-128
                 if os.path.exists(mtl_path):
                     for name, mtl in parse_mtl(mtl_path).items():
                         mid, kind = convert_material(b, mtl, os.path.dirname(path))
@@ -223,6 +225,10 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
         verts = verts - center + np.asarray(options.position)  # :243-247
         if options.debug:
             print(f"Centered model at {tuple(np.asarray(options.position))}")
+            # post-transform verification bounds (objLoader.go:254-283)
+            print(f"New bounds after centering: min={tuple(verts.min(0))} "
+                  f"max={tuple(verts.max(0))} "
+                  f"center={tuple((verts.min(0) + verts.max(0)) / 2.0)}")
     tex_coords = np.asarray(tex_coords, dtype=np.float64).reshape(-1, 2)
 
     # pass 2: normals, usemtl, faces (objLoader.go:286-470)
@@ -240,7 +246,14 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
             ln = np.linalg.norm(n)
             normals.append(n / ln if ln > 0 else n)
         elif parts[0] == "usemtl" and len(parts) >= 2 and not options.ignore_mtl:
-            cur_mat = mtl_mats.get(parts[1], default_mat)
+            if parts[1] in mtl_mats:
+                cur_mat = mtl_mats[parts[1]]
+                if options.debug:
+                    print(f"Switched to material: {parts[1]}")  # objLoader.go:333-335
+            else:
+                cur_mat = default_mat
+                if options.debug:
+                    print(f"Material not found: {parts[1]}, using default")  # :337-339
         elif parts[0] == "f" and len(parts) >= 4:
             fv, ft, fn = [], [], []
             for spec in parts[1:]:
@@ -305,9 +318,23 @@ def load_obj(b: SceneBuilder, path: str, options: LoadOptions = LoadOptions(),
         if kind == T.MAT_DIFFUSE_LIGHT or (options.find_windows and kind == T.MAT_DIELECTRIC):
             lights.append(h)
     if options.debug:
-        # summary (objLoader.go:516-535)
-        print(f"Loaded {len(tri_v)} triangles, {len(verts)} vertices, "
-              f"{len(mtl_mats)} MTL materials, {len(lights)} light triangles")
+        # model summary (objLoader.go:476-484)
+        print("=== MODEL SUMMARY ===")
+        print(f"Loaded {len(verts)} vertices, {len(normals)} normals, "
+              f"{len(tri_v)} triangles")
+        if mtl_mats:
+            print(f"Used {len(mtl_mats)} materials from MTL file")
+        # light count + final bounds (objLoader.go:515-535); the builder
+        # bakes transforms, so the pre-transform triangle bounds play the
+        # BVH-bbox role here
+        print(f"{len(lights)} Light sources found")
+        tv = np.asarray(tri_v).reshape(-1, 3)
+        bmin, bmax = tv.min(0), tv.max(0)
+        print("=== FINAL BVH BOUNDS ===")
+        for ax, nm in enumerate("XYZ"):
+            print(f"{nm}: {bmin[ax]:f} to {bmax[ax]:f}")
+        c = (bmin + bmax) / 2.0
+        print(f"BVH center: [{c[0]:f}, {c[1]:f}, {c[2]:f}]")
     return lights
 
 

@@ -77,6 +77,60 @@ def test_binned_matches_walk_exactly(seed, n_tris, n_rays):
     np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_w), rtol=1e-5)
 
 
+def test_binned_non_tile_multiple_prefix():
+    """Regression: a pool whose n//8 is not a kernel-tile multiple
+    (n = 9216 -> n//8 = 1152) must not break the two-phase shrink's
+    reshape — the phase-2 prefix is rounded up to a whole 1024-lane
+    tile (advisor round 4, ops/trace.py)."""
+    import os
+    os.environ["GRT_CLUSTER_TRIS"] = "64"
+    try:
+        s_bvh, _ = _scenes_with_and_without_bvh(500, seed=77)
+    finally:
+        del os.environ["GRT_CLUSTER_TRIS"]
+    bvh = s_bvh.tri_bvh
+    rs = np.random.default_rng(78)
+    n = 9216
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    t_b, i_b = trace_mod.binned_closest(s_bvh, o, d)
+    t_w, i_w = ptrav8.bvh8_closest(
+        bvh.nodes8, bvh.tris8, o, d, jnp.full((n,), jnp.inf, jnp.float32),
+        dense_nodes=bvh.bvh8_dense, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_w))
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_w), rtol=1e-5)
+
+
+def test_stream_hbm_matches_vmem(monkeypatch):
+    """The HBM double-buffered table variant (stream._stream_kernel_hbm,
+    used for Sponza-scale tables past VMEM_TABLE_BYTES) returns the same
+    winners as the VMEM-resident path."""
+    from go_raytracer_tpu.ops.pallas import stream as pstream
+
+    import os
+    os.environ["GRT_CLUSTER_TRIS"] = "64"
+    try:
+        s_bvh, _ = _scenes_with_and_without_bvh(600, seed=91)
+    finally:
+        del os.environ["GRT_CLUSTER_TRIS"]
+    bvh = s_bvh.tri_bvh
+    rs = np.random.default_rng(92)
+    n = 1280
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    t_v, i_v = trace_mod.binned_closest(s_bvh, o, d)
+    monkeypatch.setattr(pstream, "VMEM_TABLE_BYTES", 1)
+    # same shapes would hit the jit cache; clear to force a re-trace
+    pstream.stream_rows.clear_cache()
+    try:
+        t_h, i_h = trace_mod.binned_closest(s_bvh, o, d)
+    finally:
+        monkeypatch.undo()
+        pstream.stream_rows.clear_cache()
+    np.testing.assert_array_equal(np.asarray(i_h), np.asarray(i_v))
+    np.testing.assert_allclose(np.asarray(t_h), np.asarray(t_v), rtol=1e-6)
+
+
 def test_binned_matches_dense_via_trace_route(monkeypatch):
     """pallas_bvh_closest routes through the binned intersector by
     default and agrees with the dense reference."""
