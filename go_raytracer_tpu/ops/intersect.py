@@ -105,17 +105,37 @@ def quad_ts(qd: T.Quads, o: jnp.ndarray, d: jnp.ndarray,
     return jnp.where(valid, t, INF)
 
 
+def box_object_rays(bx: "T.Boxes", o: jnp.ndarray, d: jnp.ndarray):
+    """Rotate rays into each box's object space (N, B, 3): offset
+    subtract then rotate-Y world->object, the Media boundary convention
+    (transformation.go:25-34, 79-85). Identity rows pass through."""
+    cos = bx.cos_t[None, :]
+    sin = bx.sin_t[None, :]
+    osh = o[:, None, :] - bx.offset[None, :, :]
+    o_obj = jnp.stack([cos * osh[..., 0] - sin * osh[..., 2],
+                       osh[..., 1],
+                       sin * osh[..., 0] + cos * osh[..., 2]], axis=-1)
+    dy_b = jnp.broadcast_to(d[:, None, 1], (o.shape[0], bx.count))
+    d_obj = jnp.stack([cos * d[:, None, 0] - sin * d[:, None, 2],
+                       dy_b,
+                       sin * d[:, None, 0] + cos * d[:, None, 2]], axis=-1)
+    return o_obj, d_obj
+
+
 def box_ts(bx: "T.Boxes", o: jnp.ndarray, d: jnp.ndarray,
            t_min: float, t_max: float) -> jnp.ndarray:
-    """Hit distances (N, B) for the fused axis-aligned-box table.
+    """Hit distances (N, B) for the fused-box table.
 
     One slab test replaces the six quad plane+interior tests of the
     reference's box (objects.go:208-240): the closest of the six quad
     hits is the slab entry t when it clears t_min, else the exit t
     (ray starts inside the box — the interior back face the quads would
-    return). Closed-interval semantics match quad_ts."""
+    return). Rotated rows (rotateY+translate wrappers,
+    transformation.go) test in object space — t is rotation-invariant.
+    Closed-interval semantics match quad_ts."""
+    o_obj, d_obj = box_object_rays(bx, o, d)
     near, far, span_ok = box_slab_span(bx.lo[None, :, :], bx.hi[None, :, :],
-                                       o[:, None, :], d[:, None, :])
+                                       o_obj, d_obj)
     t = jnp.where(near >= t_min, near, far)
     valid = (span_ok & (far >= near)
              & (t_min <= t) & (t <= t_max)

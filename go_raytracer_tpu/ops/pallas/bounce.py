@@ -137,6 +137,7 @@ def scene_statics(scene: T.Scene) -> dict:
         has_noise=scene.has_noise,
         has_image=scene.has_image,
         has_checker=scene.has_checker,
+        box_rot=scene.has_rot_boxes,
         # block-AABB culling in the big-section fori loop: only worth it
         # when the caller also sorts lanes into coherent tiles (regen's
         # reorder path) — on incoherent tiles the test is pure overhead
@@ -292,12 +293,29 @@ def pack_scene(scene: T.Scene, cull: bool = False):
         cols = ([jnp.full_like(bx.lo[:, 0], 3.0)]
                 + [bx.lo[:, i] for i in range(3)]
                 + [bx.hi[:, i] for i in range(3)]
-                + [jnp.zeros_like(bx.lo[:, 0])] * 6  # pad to col 13
+                # 7 cos, 8 sin, 9-11 offset (identity for axis rows),
+                # 12 pad
+                + [bx.cos_t, bx.sin_t]
+                + [bx.offset[:, i] for i in range(3)]
+                + [jnp.zeros_like(bx.lo[:, 0])]
                 + mat_cols(bx.mat_id))
         rows = jnp.where(bx.active[:, None], jnp.stack(cols, axis=1),
                          jnp.full((bx.count, p_cols), -1.0))
         if cull:
-            rows, lo, hi = sort_section(rows, bx.lo, bx.hi, bx.active)
+            # world AABB = hull of the 8 rotated corners (identity rows
+            # reduce to lo/hi exactly)
+            corners = jnp.stack(
+                [jnp.stack([jnp.where(m & 1, bx.hi[:, 0], bx.lo[:, 0]),
+                            jnp.where(m & 2, bx.hi[:, 1], bx.lo[:, 1]),
+                            jnp.where(m & 4, bx.hi[:, 2], bx.lo[:, 2])],
+                           axis=-1) for m in range(8)])
+            cw = jnp.stack(
+                [bx.cos_t * corners[..., 0] + bx.sin_t * corners[..., 2],
+                 corners[..., 1],
+                 -bx.sin_t * corners[..., 0] + bx.cos_t * corners[..., 2]],
+                axis=-1) + bx.offset[None]
+            rows, lo, hi = sort_section(rows, cw.min(axis=0), cw.max(axis=0),
+                                        bx.active)
             blocks.append(block_bounds(lo, hi, rows[:, 0] >= 0.0))
         sections.append(pad_section(rows))
     prims = jnp.concatenate(sections, axis=0).astype(jnp.float32)
@@ -482,20 +500,49 @@ def _quad_candidate(st, g, rays, t_best):
 
 
 def _box_candidate(inv_d, st, g, rays, t_best):
-    """Candidate hit vs one fused axis-aligned box row (row layout: 1-3
-    lo, 4-6 hi). One slab test replaces the six quad tests of
-    objects.go:208-240: t = slab entry when it clears T_MIN, else the
-    exit (ray inside); the outward normal is the axis of the bounding
-    slab, sign −d for entry / +d for exit. uv is zeros — fusion is gated
-    on uv-independent textures (scene/builder._box_fusable)."""
+    """Candidate hit vs one fused box row (row layout: 1-3 lo, 4-6 hi,
+    7 cos, 8 sin, 9-11 offset). One slab test replaces the six quad
+    tests of objects.go:208-240: t = slab entry when it clears T_MIN,
+    else the exit (ray inside); the outward normal is the axis of the
+    bounding slab, sign −d for entry / +d for exit. Rotated rows
+    (st["box_rot"] — e.g. the two Cornell boxes, main.go:297-305) rotate
+    the ray into object space per row (transformation.go:25-34, 79-85)
+    and the normal back out; ONE such row replaces six baked quad rows
+    (~6x fewer vector ops for that geometry). uv is zeros — fusion is
+    gated on uv-independent textures (scene/builder._box_fusable)."""
     ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
-    ix_, iy_, iz_ = inv_d   # hoisted safe reciprocal (once per bounce)
-    tx0 = (g(1) - ox) * ix_
-    tx1 = (g(4) - ox) * ix_
-    ty0 = (g(2) - oy) * iy_
-    ty1 = (g(5) - oy) * iy_
-    tz0 = (g(3) - oz) * iz_
-    tz1 = (g(6) - oz) * iz_
+    if st["box_rot"]:
+        # world -> object: offset subtract + rotate-Y (the Media
+        # convention); per-row safe reciprocals (the hoisted ones are in
+        # the world frame)
+        cos, sin = g(7), g(8)
+        osx = ox - g(9)
+        oy_ = oy - g(10)
+        osz = oz - g(11)
+        oxo = cos * osx - sin * osz
+        ozo = sin * osx + cos * osz
+        dxo = cos * dx - sin * dz
+        dzo = sin * dx + cos * dz
+        tiny = 1e-30
+        sdx = jnp.where(jnp.abs(dxo) < tiny,
+                        jnp.where(dxo < 0, -tiny, tiny), dxo)
+        sdy = jnp.where(jnp.abs(dy) < tiny,
+                        jnp.where(dy < 0, -tiny, tiny), dy)
+        sdz = jnp.where(jnp.abs(dzo) < tiny,
+                        jnp.where(dzo < 0, -tiny, tiny), dzo)
+        ix_, iy_, iz_ = 1.0 / sdx, 1.0 / sdy, 1.0 / sdz
+        bx_o, by_o, bz_o = oxo, oy_, ozo
+        bdx, bdz = dxo, dzo
+    else:
+        ix_, iy_, iz_ = inv_d   # hoisted safe reciprocal (once per bounce)
+        bx_o, by_o, bz_o = ox, oy, oz
+        bdx, bdz = dx, dz
+    tx0 = (g(1) - bx_o) * ix_
+    tx1 = (g(4) - bx_o) * ix_
+    ty0 = (g(2) - by_o) * iy_
+    ty1 = (g(5) - by_o) * iy_
+    tz0 = (g(3) - bz_o) * iz_
+    tz1 = (g(6) - bz_o) * iz_
     lx, hx = jnp.minimum(tx0, tx1), jnp.maximum(tx0, tx1)
     ly, hy = jnp.minimum(ty0, ty1), jnp.maximum(ty0, ty1)
     lz, hz = jnp.minimum(tz0, tz1), jnp.maximum(tz0, tz1)
@@ -512,13 +559,18 @@ def _box_candidate(inv_d, st, g, rays, t_best):
     is_y = jnp.logical_and(jnp.logical_not(is_x), by_ == t_c)
     is_z = jnp.logical_and(jnp.logical_not(is_x), jnp.logical_not(is_y))
     flip = jnp.where(entry, -1.0, 1.0)
-    sgn_x = jnp.where(dx >= 0, flip, -flip)
+    sgn_x = jnp.where(bdx >= 0, flip, -flip)
     sgn_y = jnp.where(dy >= 0, flip, -flip)
-    sgn_z = jnp.where(dz >= 0, flip, -flip)
+    sgn_z = jnp.where(bdz >= 0, flip, -flip)
     zero = jnp.zeros_like(t_c)
     nx = jnp.where(is_x, sgn_x, zero)
     ny = jnp.where(is_y, sgn_y, zero)
     nz = jnp.where(is_z, sgn_z, zero)
+    if st["box_rot"]:
+        # object -> world rotation for the normal (transformation.go:87-93)
+        nxw = cos * nx + sin * nz
+        nzw = -sin * nx + cos * nz
+        return ok, t_c, nxw, ny, nzw, entry, None, None
     return ok, t_c, nx, ny, nz, entry, None, None
 
 

@@ -102,17 +102,30 @@ def _quad_attrs(qd: T.Quads, o, d, t, idx):
 
 
 def _box_attrs(bx: T.Boxes, o, d, t, idx):
-    """Hit attributes for a fused axis-aligned box (types.Boxes): the
-    outward normal is the axis unit vector of the slab that bounds the
-    winning t — the entry slab when t is the entry distance, else the exit
-    slab — exactly the face normal the six-quad decomposition
-    (objects.go:227-237) would report. uv is not reproduced (fusion is
-    gated on uv-independent textures); zeros are returned."""
+    """Hit attributes for a fused box (types.Boxes): the outward normal
+    is the axis unit vector of the slab that bounds the winning t — the
+    entry slab when t is the entry distance, else the exit slab —
+    exactly the face normal the six-quad decomposition
+    (objects.go:227-237) would report. Rotated rows compute the slab in
+    object space and rotate the normal back to world
+    (transformation.go:94-107); t is rotation-invariant. uv is not
+    reproduced (fusion is gated on uv-independent textures); zeros are
+    returned."""
     lo, hi = bx.lo[idx], bx.hi[idx]
-    d_safe = jnp.where(jnp.abs(d) < 1e-30, jnp.where(d < 0, -1e-30, 1e-30), d)
+    cos, sin = bx.cos_t[idx], bx.sin_t[idx]
+    osh = o - bx.offset[idx]
+    # world -> object (the Media boundary convention)
+    oo = jnp.stack([cos * osh[:, 0] - sin * osh[:, 2],
+                    osh[:, 1],
+                    sin * osh[:, 0] + cos * osh[:, 2]], axis=-1)
+    do = jnp.stack([cos * d[:, 0] - sin * d[:, 2],
+                    d[:, 1],
+                    sin * d[:, 0] + cos * d[:, 2]], axis=-1)
+    d_safe = jnp.where(jnp.abs(do) < 1e-30,
+                       jnp.where(do < 0, -1e-30, 1e-30), do)
     inv = 1.0 / d_safe
-    t0 = (lo - o) * inv
-    t1 = (hi - o) * inv
+    t0 = (lo - oo) * inv
+    t1 = (hi - oo) * inv
     per_lo = jnp.minimum(t0, t1)
     per_hi = jnp.maximum(t0, t1)
     near = jnp.max(per_lo, axis=-1)
@@ -125,7 +138,12 @@ def _box_attrs(bx: T.Boxes, o, d, t, idx):
     axis = jnp.argmax(jnp.where(entry[:, None], per, -per), axis=-1)
     sgn = jnp.sign(jnp.take_along_axis(d_safe, axis[:, None], axis=-1))[:, 0]
     sgn = jnp.where(entry, -sgn, sgn)
-    outward = sgn[:, None] * jnp.eye(3, dtype=o.dtype)[axis]
+    out_obj = sgn[:, None] * jnp.eye(3, dtype=o.dtype)[axis]
+    # object -> world rotation (transformation.go:87-93)
+    outward = jnp.stack(
+        [cos * out_obj[:, 0] + sin * out_obj[:, 2],
+         out_obj[:, 1],
+         -sin * out_obj[:, 0] + cos * out_obj[:, 2]], axis=-1)
     front = vm.dot(d, outward) < 0
     normal = jnp.where(front[:, None], outward, -outward)
     p = o + t[:, None] * d

@@ -183,20 +183,36 @@ class SceneBuilder:
         """objects.go:208-240: six quads; the reference wraps them in a BVH,
         which flattens to the same six rows here.
 
-        When the baked transform keeps the box axis-aligned AND the
-        material's texture never reads uv (everything but an image
-        texture), the six quads fuse into ONE slab-test row in the Boxes
-        table (6x fewer hot-loop rows; identical t/normal/material —
-        types.Boxes). `fuse=False` forces the six-quad expansion (used by
-        the equivalence tests)."""
+        When the material's texture never reads uv (everything but an
+        image texture), the six quads fuse into ONE slab-test row in the
+        Boxes table (6x fewer hot-loop rows; identical t/normal/material —
+        types.Boxes). Axis-preserving transforms bake into world-space
+        bounds with identity rotation; a rotate-Y transform (the Cornell
+        boxes, main.go:297-305) keeps OBJECT-space bounds plus the
+        rotation row (the Media boundary convention) and the intersectors
+        rotate the ray per row. `fuse=False` forces the six-quad
+        expansion (used by the equivalence tests)."""
         a = np.asarray(a, dtype=np.float64)
         b = np.asarray(b, dtype=np.float64)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         if fuse and self._box_fusable(lo, hi, mat, transform):
-            c0 = transform.point(lo)
-            c1 = transform.point(hi)
-            self._boxes.append(dict(lo=np.minimum(c0, c1),
-                                    hi=np.maximum(c0, c1), mat_id=mat))
+            if self._axis_preserving(lo, hi, transform):
+                c0 = transform.point(lo)
+                c1 = transform.point(hi)
+                self._boxes.append(dict(lo=np.minimum(c0, c1),
+                                        hi=np.maximum(c0, c1),
+                                        cos_t=1.0, sin_t=0.0,
+                                        offset=(0.0, 0.0, 0.0),
+                                        mat_id=mat))
+            else:
+                th = math.radians(transform.rotate_y_deg)
+                self._boxes.append(dict(lo=lo, hi=hi,
+                                        cos_t=math.cos(th),
+                                        sin_t=math.sin(th),
+                                        offset=tuple(
+                                            float(x) for x in
+                                            transform.translate),
+                                        mat_id=mat))
             return [("box", len(self._boxes) - 1)]
         dx = np.array([hi[0] - lo[0], 0, 0])
         dy = np.array([0, hi[1] - lo[1], 0])
@@ -212,12 +228,15 @@ class SceneBuilder:
         return ids
 
     def _box_fusable(self, lo, hi, mat: int, transform: Transform) -> bool:
-        """True when the transformed box stays an axis-aligned box (each
-        axis edge maps to a single-axis vector) and the texture is
-        uv-independent (fusion drops uv — types.Boxes)."""
+        """True when the texture is uv-independent (fusion drops uv —
+        types.Boxes). Any rotate-Y+translate transform is representable
+        (axis-preserving ones bake; the rest carry the rotation row)."""
         tex = self._tex[self._mat[mat]["tex_id"]]
-        if tex["kind"] == T.TEX_IMAGE:
-            return False
+        return tex["kind"] != T.TEX_IMAGE
+
+    def _axis_preserving(self, lo, hi, transform: Transform) -> bool:
+        """True when the transform maps each axis edge to a single-axis
+        vector, so the box stays axis-aligned after baking."""
         for axis in range(3):
             e = np.zeros(3)
             e[axis] = hi[axis] - lo[axis]
@@ -349,12 +368,19 @@ class SceneBuilder:
             active=jnp.arange(len(qd)) < n_qd,
         )
 
-        # --- fused axis-aligned boxes (types.Boxes; padded like the rest)
-        bx = self._boxes or [dict(lo=np.zeros(3), hi=np.ones(3), mat_id=0)]
+        # --- fused boxes (types.Boxes; padded like the rest)
+        bx = self._boxes or [dict(lo=np.zeros(3), hi=np.ones(3),
+                                  cos_t=1.0, sin_t=0.0,
+                                  offset=(0.0, 0.0, 0.0), mat_id=0)]
         n_bx = len(self._boxes)
+        has_rot_boxes = any(r["sin_t"] != 0.0 or r["cos_t"] != 1.0
+                            for r in self._boxes)
         boxes = T.Boxes(
             lo=f([r["lo"] for r in bx]),
             hi=f([r["hi"] for r in bx]),
+            cos_t=f([r["cos_t"] for r in bx]),
+            sin_t=f([r["sin_t"] for r in bx]),
+            offset=f([r["offset"] for r in bx]),
             mat_id=i32([r["mat_id"] for r in bx]),
             active=jnp.arange(len(bx)) < n_bx,
         )
@@ -545,6 +571,7 @@ class SceneBuilder:
             tri_bvh=tri_bvh,
             boxes=boxes,
             has_boxes=n_bx > 0,
+            has_rot_boxes=has_rot_boxes,
             has_tri_bvh=has_tri_bvh,
             has_spheres=n_sp > 0,
             has_quads=n_qd > 0,

@@ -86,16 +86,27 @@ class Quads:
 
 @struct.dataclass
 class Boxes:
-    """Axis-aligned box table. A reference box is six quads in a BVH
-    (hittable/objects.go:208-240); when all six stay axis-aligned after
-    transform baking AND the material's texture never reads uv (anything
-    but an image texture — checker/noise sample the 3D hit point), the
-    builder fuses them into ONE slab-test row: 6x fewer rows in the hot
-    closest-hit loop with identical hit t / outward normal / material.
-    (uv is not reproduced — fusion is gated on textures that ignore it.)"""
+    """Fused box table. A reference box is six quads in a BVH
+    (hittable/objects.go:208-240); when the material's texture never
+    reads uv (anything but an image texture — checker/noise sample the
+    3D hit point), the builder fuses them into ONE slab-test row: 6x
+    fewer rows in the hot closest-hit loop with identical hit t /
+    outward normal / material. (uv is not reproduced — fusion is gated
+    on textures that ignore it.)
 
-    lo: jnp.ndarray      # (B, 3)
-    hi: jnp.ndarray      # (B, 3)
+    Rotated boxes (the reference's rotateY+translate wrappers,
+    hittable/transformation.go — e.g. the two Cornell boxes,
+    main.go:297-305) fuse too: lo/hi are OBJECT-space bounds and the ray
+    is rotated into object space per row, exactly the Media boundary
+    convention. Axis-aligned rows carry the identity rotation
+    (cos=1, sin=0, offset=0) and a static scene flag lets kernels skip
+    the rotation math entirely when no rotated box exists."""
+
+    lo: jnp.ndarray      # (B, 3) object-space min
+    hi: jnp.ndarray      # (B, 3) object-space max
+    cos_t: jnp.ndarray   # (B,) rotate-Y cos(theta)
+    sin_t: jnp.ndarray   # (B,) rotate-Y sin(theta)
+    offset: jnp.ndarray  # (B, 3) translate offset
     mat_id: jnp.ndarray  # (B,) int32
     active: jnp.ndarray  # (B,) bool
 
@@ -280,6 +291,9 @@ class Scene:
     tri_bvh: TriBVH = None
     boxes: Boxes = None
     has_boxes: bool = struct.field(pytree_node=False, default=False)
+    # True when any fused box row carries a non-identity rotation; static
+    # so kernels compile the per-row ray rotation only when needed
+    has_rot_boxes: bool = struct.field(pytree_node=False, default=False)
     has_spheres: bool = struct.field(pytree_node=False, default=True)
     has_tri_bvh: bool = struct.field(pytree_node=False, default=False)
     has_quads: bool = struct.field(pytree_node=False, default=True)

@@ -9,8 +9,10 @@ from go_raytracer_tpu.scenes import registry
 
 def test_cornell_box_tables():
     scene, cam = registry.cornell_box()
-    # 5 walls + 1 light + 2 boxes * 6 quads = 18 quads
-    assert scene.quads.count == 18
+    # 5 walls + 1 light; the two rotated boxes fuse to slab rows
+    # (types.Boxes with rotation, round 5)
+    assert scene.quads.count == 6
+    assert scene.boxes.count == 2 and scene.has_rot_boxes
     assert scene.lights.n == 1
     assert not scene.has_media
     assert cam.width == 600 and cam.max_depth == 50
