@@ -46,12 +46,14 @@ def main():
         kw = dict(n_lanes=1 << 17, cadence=cadence, refill_len=refill,
                   schedule=schedule)
         regen.render_regen(scene, cam, key, **kw)  # warm/compile
-        # median of 3 warm runs: the first post-compile run consistently
-        # underreports on the tunneled v5e (allocator/dispatch warmup)
+        # median of 5 warm runs: the first post-compile run consistently
+        # underreports on the tunneled v5e (allocator/dispatch warmup),
+        # and the tunnel swings +-15% between slow/fast phases (round 5
+        # measured 557-720M medians-of-3 on an identical build)
         t0 = time.time()
         runs = [regen.render_regen(scene, cam, key, **kw)[1]
-                for _ in range(3)]
-        stats = sorted(runs, key=lambda s: s["rays_per_s"])[1]
+                for _ in range(5)]
+        stats = sorted(runs, key=lambda s: s["rays_per_s"])[2]
     except Exception:
         def run(backend):
             return renderer.render(scene, cam, key=key, mode="while",

@@ -102,18 +102,35 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         # are assigned contiguously per level in flat lane order).
         outer = window // cadence
 
+        # GRT_DIRECT_REC=1: the kernel writes records in place into the
+        # whole-window buffers (scalar-prefetched level base + aliased
+        # outputs, bounce_fused_q_direct) instead of returning per-step
+        # planes the loop body DUSes. Measured round 5 on the single-chip
+        # cornell window: a NEGATIVE (~660 vs 720M rays/s — the strided
+        # in-place output writes cost the kernel ~4 ms, more than the
+        # ~3 ms of DUS shell they remove), so the default stays the plane
+        # path; kept selectable for the shard_map overhead experiments
+        # (pallas outputs are the suspected host-staging trigger there).
+        # Image scenes always use the plane path (the XLA uv patch must
+        # see each step's planes).
+        direct = (not scene.has_image
+                  and os.environ.get("GRT_DIRECT_REC", "0") == "1")
+
+        def _seed4(seed_i32, refill_rem, next_item):
+            return jnp.stack([seed_i32, refill_rem, next_item,
+                              item_end.astype(jnp.int32)
+                              if hasattr(item_end, "astype")
+                              else jnp.int32(item_end)])
+
         def fwd_step_ik(carry, inputs):
             state, next_item = carry
             seed_i32, refill_rem = inputs
             ox, oy, oz, dx, dy, dz, t, alive, item_id, depth = state
-            seed4 = jnp.stack([seed_i32, refill_rem, next_item,
-                               item_end.astype(jnp.int32)
-                               if hasattr(item_end, "astype")
-                               else jnp.int32(item_end)])
-            (rec_planes, img_planes, segc, nox, noy, noz, ndx, ndy, ndz,
-             ntm, alive2, depth2) = \
+            (rec_planes, img_planes, segc, tc, nox, noy, noz, ndx, ndy,
+             ndz, ntm, alive2, depth2) = \
                 pallas_bounce.bounce_fused_q(
-                    tables, statics, cam_row, scene.background, seed4,
+                    tables, statics, cam_row, scene.background,
+                    _seed4(seed_i32, refill_rem, next_item),
                     ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32),
                     depth, has_defocus=arrays.defocus_angle > 0,
                     max_depth=max_depth, n_inner=cadence, width=width,
@@ -123,7 +140,6 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             Vr, Vg, Vb, FL = rec_planes
             Vr, Vg, Vb = pallas_bounce.patch_image_weight_planes(
                 scene, Vr, Vg, Vb, img_planes)
-            tc = jnp.sum((FL >> 2) & 1, axis=1)               # (cadence,)
             bases = next_item + jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), jnp.cumsum(tc)[:-1]])
             next_item = next_item + jnp.sum(tc)
@@ -147,17 +163,23 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         # treats as identity (L enters the written levels as 0 and no
         # started rows are emitted), so results are bit-identical to the
         # scan.
-        out_sd = jax.eval_shape(fwd_step_ik, (state, next_item),
-                                (seeds[0], refill_rems[0]))
-        rec_sd = out_sd[1][0]
-        bufs = tuple(jnp.zeros((outer,) + sd.shape, sd.dtype)
-                     for sd in rec_sd[:-1])
+        rows_l = n // 128
+        if direct:
+            # whole-window record buffers written IN PLACE by the kernel
+            # (scalar-prefetched level base + aliased outputs) — no
+            # per-step record DUS in the loop body
+            bufs = (jnp.zeros((outer * cadence, rows_l, 128), dtype),
+                    jnp.zeros((outer * cadence, rows_l, 128), dtype),
+                    jnp.zeros((outer * cadence, rows_l, 128), dtype),
+                    jnp.zeros((outer * cadence, rows_l, 128), jnp.int32))
+        else:
+            bufs = tuple(jnp.zeros((outer, cadence, n), dt)
+                         for dt in (dtype, dtype, dtype, jnp.int32))
         # unwritten (early-exited) steps: their all-zero harvest rows are
         # still scanned by write_row_ik, so their item base must point at
         # the accumulator's n-lane padding tail (item_end), NOT item 0 —
         # a zero base would overwrite the first level's real rows
-        nis_buf = jnp.full((outer,) + rec_sd[-1].shape,
-                           item_end, rec_sd[-1].dtype)
+        nis_buf = jnp.full((outer, cadence), item_end, jnp.int32)
         # Segment counter as two int32 words (lo holds 30 bits): one
         # workload-sized window can cover the whole render, and a large
         # custom config (~2k x 2k @1000spp) exceeds int32 segments; the
@@ -178,12 +200,32 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
 
         def fwd_body(c):
             i, state_c, next_c, bufs_c, nis_c, segs_c = c
-            (state2, next2), (rec, seg) = fwd_step_ik(
-                (state_c, next_c), (seeds[i], refill_rems[i]))
-            *planes, nis = rec
-            bufs2 = tuple(
-                jax.lax.dynamic_update_slice(b, p[None], (i, 0, 0))
-                for b, p in zip(bufs_c, planes))
+            if direct:
+                (ox, oy, oz, dx, dy, dz, t, alive, item_id,
+                 depth) = state_c
+                (*bufs2, segc, tc, nox, noy, noz, ndx, ndy, ndz, ntm,
+                 alive2, depth2) = pallas_bounce.bounce_fused_q_direct(
+                    tables, statics, cam_row, scene.background,
+                    _seed4(seeds[i], refill_rems[i], next_c),
+                    i * jnp.int32(cadence), bufs_c,
+                    ox, oy, oz, dx, dy, dz, t, alive.astype(jnp.int32),
+                    depth, has_defocus=arrays.defocus_angle > 0,
+                    max_depth=max_depth, n_inner=cadence, width=width,
+                    sqrt_spp=sqrt_spp, npix=npix, interpret=interpret)
+                bufs2 = tuple(bufs2)
+                nis = next_c + jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(tc)[:-1]])
+                next2 = next_c + jnp.sum(tc)
+                state2 = (nox, noy, noz, ndx, ndy, ndz, ntm, alive2 > 0,
+                          item_id, depth2)
+                seg = jnp.sum(segc)
+            else:
+                (state2, next2), (rec, seg) = fwd_step_ik(
+                    (state_c, next_c), (seeds[i], refill_rems[i]))
+                *planes, nis = rec
+                bufs2 = tuple(
+                    jax.lax.dynamic_update_slice(b, p[None], (i, 0, 0))
+                    for b, p in zip(bufs_c, planes))
             nis_c = jax.lax.dynamic_update_slice(
                 nis_c, nis[None], (i, jnp.int32(0)))
             lo, hi = segs_c
@@ -195,7 +237,9 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         _, state, next_item, bufs, nis_buf, segs = jax.lax.while_loop(
             fwd_cond, fwd_body,
             (jnp.int32(0), state, next_item, bufs, nis_buf, seg0))
-        (Vr, Vg, Vb, FL) = bufs
+        # (window, rows, 128) -> (outer, cadence, N): a free reshape (the
+        # level-major linear order is identical)
+        (Vr, Vg, Vb, FL) = tuple(b.reshape(outer, cadence, n) for b in bufs)
         NIs = nis_buf
 
         # reverse harvest with PER-LEVEL starts: same clamp recursion,

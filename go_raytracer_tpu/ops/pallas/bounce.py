@@ -1859,9 +1859,10 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
     n_rec = 4 + n_img
     rec_refs = refs[:n_rec]                       # (1, TILE_ROWS, 128) each
     seg_ref = refs[n_rec]                         # (n_tiles, n_inner) SMEM
-    state_out = refs[n_rec + 1:n_rec + 10]        # (TILE_ROWS, 128) each
-    scr = refs[n_rec + 10:n_rec + 19]             # (rows, 128) VMEM scratch
-    cur_ref = refs[n_rec + 19]                    # (1,) SMEM cursor
+    takes_ref = refs[n_rec + 1]                   # (n_tiles, n_inner) SMEM
+    state_out = refs[n_rec + 2:n_rec + 11]        # (TILE_ROWS, 128) each
+    scr = refs[n_rec + 11:n_rec + 20]             # (rows, 128) VMEM scratch
+    cur_ref = refs[n_rec + 20]                    # (1,) SMEM cursor
 
     sl = pl.ds(t * TILE_ROWS, TILE_ROWS)
 
@@ -1906,6 +1907,7 @@ def _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
     take = jnp.logical_and(take, seed_ref[1] > j)
     n_take = jnp.sum(take.astype(jnp.int32))
     cur_ref[0] = cur + n_take
+    takes_ref[t, j] = n_take
     pi_i, pj_i, si_i, sj_i = _item_to_coords(item, npix, width, sqrt_spp)
     pi = pi_i.astype(jnp.float32)
     pj = pj_i.astype(jnp.float32)
@@ -2027,12 +2029,13 @@ def _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
     n_img = 4 if st["has_image"] else 0
     rec_dtypes = [f32] * 3 + [i32] + [f32] * n_img
     rec_shape = (n_inner, rows, LANE)
+    smem_counts = pl.BlockSpec((n_tiles, n_inner), lambda j, t: (0, 0),
+                               memory_space=pltpu.SMEM)
     out_specs = ([rec_spec] * len(rec_dtypes)
-                 + [pl.BlockSpec((n_tiles, n_inner), lambda j, t: (0, 0),
-                                 memory_space=pltpu.SMEM)]
+                 + [smem_counts, smem_counts]
                  + [row_spec] * 9)
     out_shapes = ([jax.ShapeDtypeStruct(rec_shape, dt) for dt in rec_dtypes]
-                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), i32)]
+                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), i32)] * 2
                   + [jax.ShapeDtypeStruct(shape, f32)] * 7
                   + [jax.ShapeDtypeStruct(shape, i32)] * 2)
     scratch = ([pltpu.VMEM(shape, f32)] * 7 + [pltpu.VMEM(shape, i32)] * 2
@@ -2061,9 +2064,10 @@ def _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
     rec_planes = tuple(x.reshape(n_inner, n) for x in outs[:4])
     img_planes = tuple(x.reshape(n_inner, n) for x in outs[4:n_rec]) \
         if n_img else None
-    seg_counts = jnp.sum(outs[n_rec], axis=0)  # (n_inner,)
-    state_out = tuple(unp(x) for x in outs[n_rec + 1:])
-    return (rec_planes, img_planes, seg_counts) + state_out
+    seg_counts = jnp.sum(outs[n_rec], axis=0)       # (n_inner,)
+    take_counts = jnp.sum(outs[n_rec + 1], axis=0)  # (n_inner,)
+    state_out = tuple(unp(x) for x in outs[n_rec + 2:])
+    return (rec_planes, img_planes, seg_counts, take_counts) + state_out
 
 
 def bounce_fused_q(scene_tables, statics, cam_row, bg, seed4,
@@ -2073,13 +2077,14 @@ def bounce_fused_q(scene_tables, statics, cam_row, bg, seed4,
     """`n_inner` fused queue-regeneration steps in one kernel call with
     PER-STEP dynamic-queue refill (see `_fused_q_kernel`). seed4 =
     [step seed, refill steps remaining, next item id, item_end] (int32).
-    Returns (rec_planes, img_planes, seg_counts, state...): rec_planes =
-    (Vr, Vg, Vb, fl_i32) — merged E/W value planes + flag bits (bit0
-    clamp, bit1 emit, bit2 started), each (n_inner, N);
-    state = (o xyz, d xyz, time, alive_i32, depth). The caller recovers
-    per-level item bases as next_item + exclusive-cumsum of the per-level
-    started counts (items are assigned contiguously per level in flat
-    lane order)."""
+    Returns (rec_planes, img_planes, seg_counts, take_counts, state...):
+    rec_planes = (Vr, Vg, Vb, fl_i32) — merged E/W value planes + flag
+    bits (bit0 clamp, bit1 emit, bit2 started), each (n_inner, N);
+    take_counts = per-level started counts (n_inner,), summed from the
+    kernel's SMEM tile counters; state = (o xyz, d xyz, time, alive_i32,
+    depth). The caller recovers per-level item bases as next_item +
+    exclusive-cumsum of take_counts (items are assigned contiguously per
+    level in flat lane order)."""
     prims, lights, med, blk = scene_tables
     return _bounce_fused_q_jit(prims, lights, med, blk, cam_row, bg, seed4,
                                ox, oy, oz, dx, dy, dz, time, alive_i32,
@@ -2088,3 +2093,143 @@ def bounce_fused_q(scene_tables, statics, cam_row, bg, seed4,
                                n_inner=n_inner, width=width,
                                sqrt_spp=sqrt_spp, npix=npix,
                                interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Direct-record variant of the in-kernel queue: the kernel writes each
+# level's record blocks STRAIGHT INTO the full-window record buffers at a
+# scalar-prefetched level offset (PrefetchScalarGridSpec index maps +
+# input_output_aliases), so the XLA forward loop carries no per-step
+# dynamic-update-slices — the round-5 profile put those at ~11 ms of a
+# 129 ms cornell window. Only used when the scene has no image textures
+# (the image-uv patch must see each step's planes XLA-side).
+# --------------------------------------------------------------------------
+
+
+def _fused_q_kernel_direct(st, has_defocus, max_depth, n_inner, width,
+                           sqrt_spp, npix, base_ref,
+                           prim_ref, light_ref, med_ref, blk_ref, cam_ref,
+                           bg_ref, seed_ref,
+                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           time_ref, alive_ref, depth_ref,
+                           *refs):
+    """_fused_q_kernel with a leading scalar-prefetch ref (the window
+    level base — consumed by the out index maps, not the body) and the
+    aliased whole-window record buffers as pass-through ANY inputs."""
+    n_img = 4 if st["has_image"] else 0
+    n_rec = 4 + n_img
+    _fused_q_kernel(st, has_defocus, max_depth, n_inner, width, sqrt_spp,
+                    npix, prim_ref, light_ref, med_ref, blk_ref, cam_ref,
+                    bg_ref, seed_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    time_ref, alive_ref, depth_ref, *refs[n_rec:])
+
+
+@functools.partial(jax.jit, static_argnames=("st_key", "has_defocus",
+                                             "max_depth", "n_inner",
+                                             "width", "sqrt_spp", "npix",
+                                             "interpret"),
+                   donate_argnums=(8, 9, 10, 11))
+def _bounce_fused_q_direct_jit(prims, lights, med, blk, cam_row, bg, seed4,
+                               base1, Vr_buf, Vg_buf, Vb_buf, FL_buf,
+                               ox, oy, oz, dx, dy, dz, time, alive_i32,
+                               depth,
+                               st_key, has_defocus, max_depth, n_inner,
+                               width, sqrt_spp, npix, interpret):
+    st = dict(st_key)
+    assert not st["has_image"], "direct-record path excludes image scenes"
+    n = ox.shape[0]
+    assert n % (TILE_ROWS * LANE) == 0, n
+    rows = n // LANE
+    shape = (rows, LANE)
+    plane = lambda x: x.reshape(rows, LANE)
+    state_planes = [plane(x) for x in
+                    (ox, oy, oz, dx, dy, dz, time, alive_i32, depth)]
+
+    kernel = functools.partial(_fused_q_kernel_direct, st, has_defocus,
+                               max_depth, n_inner, width, sqrt_spp, npix)
+
+    n_tiles = rows // TILE_ROWS
+    grid = (n_inner, n_tiles)
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda j, t, b: (t, 0))
+    rec_spec = pl.BlockSpec((1, TILE_ROWS, LANE),
+                            lambda j, t, b: (b[0] + j, t, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda j, t, b: (0, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([table_spec(prims), table_spec(lights), table_spec(med),
+                 table_spec(blk),
+                 pl.BlockSpec((1, 20), lambda j, t, b: (0, 0)),
+                 pl.BlockSpec((1, 3), lambda j, t, b: (0, 0)),
+                 pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [row_spec] * 9
+                + [any_spec] * 4)
+    f32 = jnp.float32
+    i32 = jnp.int32
+    rec_dtypes = [f32, f32, f32, i32]
+    win = Vr_buf.shape[0]
+    smem_counts = pl.BlockSpec((n_tiles, n_inner), lambda j, t, b: (0, 0),
+                               memory_space=pltpu.SMEM)
+    out_specs = ([rec_spec] * 4
+                 + [smem_counts, smem_counts]
+                 + [row_spec] * 9)
+    out_shapes = ([jax.ShapeDtypeStruct((win, rows, LANE), dt)
+                   for dt in rec_dtypes]
+                  + [jax.ShapeDtypeStruct((n_tiles, n_inner), i32)] * 2
+                  + [jax.ShapeDtypeStruct(shape, f32)] * 7
+                  + [jax.ShapeDtypeStruct(shape, i32)] * 2)
+    scratch = ([pltpu.VMEM(shape, f32)] * 7 + [pltpu.VMEM(shape, i32)] * 2
+               + [pltpu.SMEM((1,), i32)])
+    table_bytes = sum(a.size * 4 for a in (prims, lights, med, blk))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(9 * rows * LANE * 4 + table_bytes
+                             + 24 * 1024 * 1024))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    # alias the whole-window record buffers through (indices count the
+    # scalar-prefetch operand and the 16 leading inputs before them)
+    aliases = {17 + k: k for k in range(4)}
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=params,
+        interpret=interpret,
+    )(base1, prims, lights, med, blk, cam_row,
+      bg.reshape(1, 3).astype(f32), seed4.reshape(4).astype(i32),
+      *state_planes, Vr_buf, Vg_buf, Vb_buf, FL_buf)
+
+    unp = lambda x: x.reshape(n)
+    bufs = outs[:4]
+    seg_counts = jnp.sum(outs[4], axis=0)       # (n_inner,)
+    take_counts = jnp.sum(outs[5], axis=0)      # (n_inner,)
+    state_out = tuple(unp(x) for x in outs[6:])
+    return bufs + (seg_counts, take_counts) + state_out
+
+
+def bounce_fused_q_direct(scene_tables, statics, cam_row, bg, seed4, base,
+                          rec_bufs,
+                          ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+                          *, has_defocus, max_depth, n_inner=1, width=0,
+                          sqrt_spp=0, npix=0, interpret=False):
+    """bounce_fused_q writing records in place: `rec_bufs` =
+    (Vr, Vg, Vb, FL) whole-window buffers shaped (window_levels, N//128,
+    128); this call's n_inner levels land at rows [base, base+n_inner)
+    and every other level keeps its previous contents (aliased buffers).
+    Returns (Vr', Vg', Vb', FL', seg_counts, take_counts, state...)."""
+    prims, lights, med, blk = scene_tables
+    Vr_buf, Vg_buf, Vb_buf, FL_buf = rec_bufs
+    return _bounce_fused_q_direct_jit(
+        prims, lights, med, blk, cam_row, bg, seed4,
+        base.reshape(1).astype(jnp.int32),
+        Vr_buf, Vg_buf, Vb_buf, FL_buf,
+        ox, oy, oz, dx, dy, dz, time, alive_i32, depth,
+        st_key=_statics_key(statics), has_defocus=has_defocus,
+        max_depth=max_depth, n_inner=n_inner, width=width,
+        sqrt_spp=sqrt_spp, npix=npix, interpret=interpret)
