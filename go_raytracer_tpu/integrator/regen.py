@@ -60,7 +60,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
                  width, npix, sqrt_spp, window, refill, cadence,
                  n_u, max_depth, max_contribution, use_pallas, interpret,
                  reorder=False, inkernel=False, harvest="xla",
-                 early_exit=True):
+                 early_exit=True, use_ext=False):
     """One generation window over [item_base, item_end) — the shard-local
     core shared by the single-device and shard_map paths. `acc` rows are
     relative to item_base.
@@ -77,18 +77,56 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
     dtype = state[0].dtype
     reorder = reorder and use_pallas
     inkernel = inkernel and use_pallas and not reorder
+    use_ext = use_ext and not use_pallas
 
-    if use_pallas:
+    if use_pallas or use_ext:
         from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
 
         tables = pallas_bounce.pack_scene(scene, cull=reorder)
-        statics = pallas_bounce.scene_statics(scene)
+        statics = pallas_bounce.scene_statics(scene, ext=use_ext)
         statics["cull"] = reorder
         cam_row = pallas_bounce.pack_camera(arrays)
         if reorder:
             blk = tables[3]
             blo = jnp.min(blk[:, 0:3], axis=0)
             bext = jnp.maximum(jnp.max(blk[:, 3:6], axis=0) - blo, 1e-6)
+
+    if use_ext:
+        # mesh scenes: the binned/walk closest hit + triangle attribute
+        # gathers stay XLA (per-lane gathers have no Mosaic lowering);
+        # everything else — dense primitive sections, media, all five
+        # materials, textures, mixture light sampling — runs in the fused
+        # bounce kernel via the ext-hit fold (pallas_bounce.bounce with
+        # ext planes). Replaces the whole-XLA wavefront._bounce shell
+        # (~5 ms/level at 64k lanes on the v5e, round-5 S8 profile).
+        from go_raytracer_tpu.ops import intersect as ix_mod
+        from go_raytracer_tpu.ops.trace import T_MIN as trace_T_MIN
+
+        def mesh_bounce(o, d, t, alive, u):
+            t_cap = jnp.full((n,), jnp.inf, dtype)
+            # cheap dense-class caps prune the mesh traversal (the
+            # cross-class shrinking rayT.Max, trace.trace)
+            if scene.has_spheres:
+                ts = ix_mod.sphere_ts(scene.spheres, o, d, t,
+                                      trace_T_MIN, jnp.inf)
+                t_cap = jnp.minimum(t_cap, ts.min(axis=1))
+            if scene.has_quads:
+                ts = ix_mod.quad_ts(scene.quads, o, d, trace_T_MIN, jnp.inf)
+                t_cap = jnp.minimum(t_cap, ts.min(axis=1))
+            if scene.has_boxes:
+                ts = ix_mod.box_ts(scene.boxes, o, d, trace_T_MIN, jnp.inf)
+                t_cap = jnp.minimum(t_cap, ts.min(axis=1))
+            ext = pallas_bounce.mesh_ext_planes(
+                scene, statics, o, d, t_cap, alive, interpret=interpret)
+            E, W, cf, no, nd, na, img = pallas_bounce.bounce(
+                tables, statics, o, d, t, alive, u, scene.background,
+                interpret=interpret, ext=ext)
+            W = pallas_bounce.patch_image_weight(scene, W, img)
+            return E, W, cf, no, nd, na
+
+        bounce_fn = mesh_bounce
+    else:
+        bounce_fn = functools.partial(wavefront._bounce, scene)
 
     if inkernel:
         # ---- in-kernel queue scheduler (ops/pallas/bounce.bounce_fused_q):
@@ -411,7 +449,7 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
 
         u = jax.random.uniform(k_u, (n, n_u), dtype=dtype)
-        E, W, cf, no, nd, na = wavefront._bounce(scene, o, d, t, alive, u)
+        E, W, cf, no, nd, na = bounce_fn(o, d, t, alive, u)
         dead2 = ~alive
         E = jnp.where(dead2[:, None], 0.0, E)
         W = jnp.where(dead2[:, None], 0.0, W)
@@ -575,13 +613,14 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
          static_argnames=("width", "npix", "sqrt_spp", "total_items",
                           "window", "refill", "cadence", "n_u", "max_depth",
                           "max_contribution", "use_pallas", "interpret",
-                          "reorder", "inkernel", "harvest", "early_exit"))
+                          "reorder", "inkernel", "harvest", "early_exit",
+                          "use_ext"))
 def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
                 acc, state, next_item, base_key, *,
                 width, npix, sqrt_spp, total_items, window, refill, cadence,
                 n_u, max_depth, max_contribution, use_pallas, interpret,
                 reorder=False, inkernel=False, harvest="xla",
-                early_exit=True):
+                early_exit=True, use_ext=False):
     return _window_impl(
         scene, arrays, acc, state, next_item, base_key,
         jnp.int32(0), jnp.int32(total_items),
@@ -589,7 +628,7 @@ def _run_window(scene: T.Scene, arrays: camera_mod.CameraArrays,
         refill=refill, cadence=cadence, n_u=n_u, max_depth=max_depth,
         max_contribution=max_contribution, use_pallas=use_pallas,
         interpret=interpret, reorder=reorder, inkernel=inkernel,
-        harvest=harvest, early_exit=early_exit)
+        harvest=harvest, early_exit=early_exit, use_ext=use_ext)
 
 
 def _pos_tables(npix: int, n_strata: int, n: int):
@@ -1121,6 +1160,10 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
     from go_raytracer_tpu.ops.pallas import bounce as pallas_bounce
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    use_ext = (backend in ("auto", "pallas") and not use_pallas
+               and scene.has_tri_bvh
+               and pallas_bounce.supported_ext(scene) and n % 4096 == 0
+               and os.environ.get("GRT_MESH_EXT", "1") == "1")
     # "auto" matches render_regen: in-kernel queue when the fused kernel
     # carries the scene; per-device refill sized to the device's chunk
     inkernel = (schedule in ("auto", "queue_ik")
@@ -1141,7 +1184,8 @@ def render_regen_sharded(scene: T.Scene, cam: camera_mod.Camera, mesh, key,
                    harvest=os.environ.get(
                        "GRT_HARVEST",
                        "fused" if inkernel else "xla"),
-                   early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1")
+                   early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1",
+                   use_ext=use_ext)
 
     spec = P(axis)
     rep = P()
@@ -1396,6 +1440,15 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
     # the fused kernel tiles lanes as (32, 128) blocks
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_bounce.supported(scene) and n % 4096 == 0)
+    # mesh scenes (supported() excludes triangles): the EXT-HIT mode runs
+    # the binned/walk closest hit + attribute gathers in XLA and hands
+    # the per-lane hit planes to the fused bounce kernel, which carries
+    # everything else (materials/lights/media/textures) — replacing the
+    # whole-XLA wavefront shell. GRT_MESH_EXT=0 reverts to the XLA shell.
+    use_ext = (backend in ("auto", "pallas") and not use_pallas
+               and scene.has_tri_bvh
+               and pallas_bounce.supported_ext(scene) and n % 4096 == 0
+               and os.environ.get("GRT_MESH_EXT", "1") == "1")
     # "auto" resolves to the in-kernel queue (bounce_fused_q: the dynamic
     # item queue's refill runs at EVERY bounce level inside the kernel, so
     # a dead lane restarts the step its path dies) whenever the fused
@@ -1519,7 +1572,8 @@ def render_regen(scene: T.Scene, cam: camera_mod.Camera, key,
                 use_pallas=use_pallas, interpret=interpret,
                 reorder=_auto_reorder(use_pallas, reorder),
                 inkernel=inkernel, harvest=harvest,
-                early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1")
+                early_exit=os.environ.get("GRT_NO_EARLY_EXIT") != "1",
+                use_ext=use_ext)
             next_dev = cur[0]
             return cur
 

@@ -118,9 +118,29 @@ def supported(scene: T.Scene, max_prims: int = 4096, max_lights: int = 8,
     return 0 < n_prims <= max_prims and 0 < scene.lights.n <= max_lights
 
 
-def scene_statics(scene: T.Scene) -> dict:
+def supported_ext(scene: T.Scene, max_prims: int = 4096, max_lights: int = 8,
+                  max_media: int = 8) -> bool:
+    """supported() for the EXTERNAL-mesh-hit mode (bounce with `ext`
+    planes): triangles are allowed — their closest hit arrives as
+    precomputed per-lane planes (regen's mesh path runs the binned
+    intersector first) — but triangle LIGHTS still aren't (the in-kernel
+    light sampler covers quad/sphere rows only)."""
+    if scene.has_tri_lights:
+        return False
+    if scene.has_media and scene.media.count > max_media:
+        return False
+    n_prims = (scene.spheres.count if scene.has_spheres else 0) + \
+        (scene.quads.count if scene.has_quads else 0) + \
+        (scene.boxes.count if scene.has_boxes else 0)
+    return 0 < n_prims <= max_prims and 0 < scene.lights.n <= max_lights
+
+
+def scene_statics(scene: T.Scene, ext: bool = False) -> dict:
     """Static (hashable) kernel parameters derived from the scene's static
-    capability flags and table shapes."""
+    capability flags and table shapes. `ext`: the kernel folds an
+    EXTERNALLY-computed mesh closest hit (per-lane t/normal/uv/material
+    planes from the binned intersector) into its carry before media and
+    shading — the mesh-scene mode (bounce_ext)."""
     n_sph = scene.spheres.count if scene.has_spheres else 0
     n_quad = scene.quads.count if scene.has_quads else 0
     n_box = scene.boxes.count if scene.has_boxes else 0
@@ -138,12 +158,47 @@ def scene_statics(scene: T.Scene) -> dict:
         has_image=scene.has_image,
         has_checker=scene.has_checker,
         box_rot=scene.has_rot_boxes,
+        ext_hit=ext,
         # block-AABB culling in the big-section fori loop: only worth it
         # when the caller also sorts lanes into coherent tiles (regen's
         # reorder path) — on incoherent tiles the test is pure overhead
         # (measured -16% book1 / -8% book2, docs/PERFORMANCE.md)
         cull=False,
     )
+
+
+def join_mat_cols(scene: T.Scene, lay, mat_id):
+    """The scene-specialized material/texture column join (_mat_layout)
+    for a vector of material ids — used both by pack_scene (per primitive
+    row) and by the external-mesh-hit path (per lane, indexed by the
+    winning triangle's material)."""
+    mats = scene.materials
+    tex = scene.textures
+    tex_id = mats.tex_id[mat_id]
+    kind_t = tex.kind[tex_id]
+    is_check = kind_t == T.TEX_CHECKER
+    ev = jnp.where(is_check[:, None], tex.even[tex_id], tex.color[tex_id])
+    od = jnp.where(is_check[:, None], tex.odd[tex_id], tex.color[tex_id])
+    vals = {
+        "kind": mats.kind[mat_id].astype(jnp.float32),
+        "ev_r": ev[:, 0], "ev_g": ev[:, 1], "ev_b": ev[:, 2],
+        "od_r": od[:, 0], "od_g": od[:, 1], "od_b": od[:, 2],
+    }
+    if "texk" in lay:
+        vals["texk"] = kind_t.astype(jnp.float32)
+    if "fr" in lay:
+        vals["fr"] = jnp.where(mats.kind[mat_id] == T.MAT_METAL,
+                               mats.fuzz[mat_id], mats.ref_idx[mat_id])
+    if "scale" in lay:
+        vals["scale"] = jnp.where(is_check, tex.inv_scale[tex_id],
+                                  tex.scale[tex_id])
+    if "seed_img" in lay:
+        seed_f = jax.lax.bitcast_convert_type(
+            scene.perlin.seed[tex.noise_id[tex_id]], jnp.float32)
+        vals["seed_img"] = jnp.where(
+            kind_t == T.TEX_IMAGE,
+            tex.image_id[tex_id].astype(jnp.float32), seed_f)
+    return [vals[c] for c in lay]
 
 
 def _morton30(p, lo, ext):
@@ -173,33 +228,7 @@ def pack_scene(scene: T.Scene, cull: bool = False):
     st = scene_statics(scene)
     lay = _mat_layout(st)
     p_cols = MAT_BASE + len(lay)
-
-    def mat_cols(mat_id):
-        tex_id = mats.tex_id[mat_id]
-        kind_t = tex.kind[tex_id]
-        is_check = kind_t == T.TEX_CHECKER
-        ev = jnp.where(is_check[:, None], tex.even[tex_id], tex.color[tex_id])
-        od = jnp.where(is_check[:, None], tex.odd[tex_id], tex.color[tex_id])
-        vals = {
-            "kind": mats.kind[mat_id].astype(jnp.float32),
-            "ev_r": ev[:, 0], "ev_g": ev[:, 1], "ev_b": ev[:, 2],
-            "od_r": od[:, 0], "od_g": od[:, 1], "od_b": od[:, 2],
-        }
-        if "texk" in lay:
-            vals["texk"] = kind_t.astype(jnp.float32)
-        if "fr" in lay:
-            vals["fr"] = jnp.where(mats.kind[mat_id] == T.MAT_METAL,
-                                   mats.fuzz[mat_id], mats.ref_idx[mat_id])
-        if "scale" in lay:
-            vals["scale"] = jnp.where(is_check, tex.inv_scale[tex_id],
-                                      tex.scale[tex_id])
-        if "seed_img" in lay:
-            seed_f = jax.lax.bitcast_convert_type(
-                scene.perlin.seed[tex.noise_id[tex_id]], jnp.float32)
-            vals["seed_img"] = jnp.where(
-                kind_t == T.TEX_IMAGE,
-                tex.image_id[tex_id].astype(jnp.float32), seed_f)
-        return [vals[c] for c in lay]
+    mat_cols = lambda mat_id: join_mat_cols(scene, lay, mat_id)
 
     def sort_section(rows, lo, hi, active):
         """Morton-order the section's rows by AABB center (inactive rows
@@ -431,7 +460,8 @@ T_MIN = 1e-3  # rayColor's interval.New(0.001, inf) (camera.go:300)
 # scene-gated slots (_carry_slots) and the joined material cols
 # (_mat_layout). The face-forward flip (hittable.go:27-34) happens ONCE
 # after the sections instead of per candidate row.
-KIND_SPHERE, KIND_QUAD, KIND_MEDIUM, KIND_BOX = 0.0, 1.0, 2.0, 3.0
+KIND_SPHERE, KIND_QUAD, KIND_MEDIUM, KIND_BOX, KIND_EXT = \
+    0.0, 1.0, 2.0, 3.0, 4.0
 
 
 def _carry_slots(st: dict):
@@ -749,11 +779,15 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
 
 
 def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
-                 ox, oy, oz, dx, dy, dz, tm, alive, u):
+                 ox, oy, oz, dx, dy, dz, tm, alive, u, ext=None):
     """Shared bounce body over (R, 128) value planes: closest hit, media,
     shading, mixture sampling — the whole of camera.go:293-331's per-level
-    work. `u` is a list of N_U + n_media uniform planes. Returns value
-    planes (E, W, cf, new origin, new direction, alive')."""
+    work. `u` is a list of N_U + n_media uniform planes. With
+    st["ext_hit"], `ext` carries an externally-computed mesh closest hit
+    as (t, outward nx, ny, nz, [u, v,] *mat_layout planes) — folded into
+    the carry after the in-kernel sections, BEFORE media (the medium span
+    clamps by the closest solid, medium.go:38). Returns value planes
+    (E, W, cf, new origin, new direction, alive')."""
     a_quad = _dot3(dx, dy, dz, dx, dy, dz)  # |d|^2
     rays = (ox, oy, oz, dx, dy, dz, tm, a_quad, 1.0 / a_quad)
     cull = st["cull"]
@@ -779,6 +813,38 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         carry = _scan_section(st, prim_ref, blk_ref, st["box_base"],
                               st["n_box"], box_cand, KIND_BOX,
                               rays, cull, carry)
+    if st["ext_hit"]:
+        # fold the externally-computed mesh hit (binned intersector) into
+        # the winner carry: t/outward-normal/uv/material arrive as value
+        # planes; front = d . outward < 0 recomputed here (one dot beats
+        # shipping a plane). KIND_EXT keeps the sphere normal-resolve off
+        # these lanes.
+        et, enx, eny, enz = ext[0], ext[1], ext[2], ext[3]
+        k = 4
+        if st["has_image"]:
+            eu, ev = ext[4], ext[5]
+            k = 6
+        emat = ext[k:]
+        n_slots = len(_carry_slots(st))
+        (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+        slots = list(rest[:n_slots])
+        mat = rest[n_slots:]
+        okx = et < t_best
+        e_front = _dot3(dx, dy, dz, enx, eny, enz) < 0.0
+        t_best = jnp.where(okx, et, t_best)
+        n_hx = jnp.where(okx, enx, n_hx)
+        n_hy = jnp.where(okx, eny, n_hy)
+        n_hz = jnp.where(okx, enz, n_hz)
+        front_f = jnp.where(okx, jnp.where(e_front, 1.0, 0.0), front_f)
+        for si, name in enumerate(_carry_slots(st)):
+            if name == "wkind":
+                slots[si] = jnp.where(okx, KIND_EXT, slots[si])
+            elif name == "auxA" and st["has_image"]:
+                slots[si] = jnp.where(okx, eu, slots[si])
+            elif name == "auxB":
+                slots[si] = jnp.where(okx, ev, slots[si])
+        mat = [jnp.where(okx, ev_, mv) for ev_, mv in zip(emat, mat)]
+        carry = (t_best, n_hx, n_hy, n_hz, front_f, *slots, *mat)
     if st["n_media"]:
         carry = _media_update(st, med_ref, st["n_media"], rays, u, carry)
 
@@ -1069,15 +1135,20 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
             alive_out, img_out)
 
 
-def _bounce_kernel(st, n_u_tot,
+def _bounce_kernel(st, n_u_tot, n_ext,
                    prim_ref, light_ref, med_ref, blk_ref, bg_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    time_ref, alive_ref, u_ref,
-                   # outputs
-                   er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
-                   cf_ref, nox_ref, noy_ref, noz_ref,
-                   ndx_ref, ndy_ref, ndz_ref, alive_out_ref,
-                   *img_refs):
+                   *refs):
+    if n_ext:
+        ext_ref = refs[0]
+        ext = [ext_ref[k] for k in range(n_ext)]
+        refs = refs[1:]
+    else:
+        ext = None
+    (er_ref, eg_ref, eb_ref, wr_ref, wg_ref, wb_ref,
+     cf_ref, nox_ref, noy_ref, noz_ref,
+     ndx_ref, ndy_ref, ndz_ref, alive_out_ref, *img_refs) = refs
     bg = (bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2])
     u = [u_ref[k] for k in range(n_u_tot)]
     (vr, vg, vb, emit, cf, nox, noy, noz, ndx, ndy, ndz, alive_out,
@@ -1085,7 +1156,7 @@ def _bounce_kernel(st, n_u_tot,
         _bounce_core(st, prim_ref, light_ref, med_ref, blk_ref, bg,
                      ox_ref[:], oy_ref[:], oz_ref[:],
                      dx_ref[:], dy_ref[:], dz_ref[:],
-                     time_ref[:], alive_ref[:] > 0, u)
+                     time_ref[:], alive_ref[:] > 0, u, ext=ext)
     for ref, val in zip(img_refs, img_out):
         ref[:] = val
     zero = jnp.zeros_like(vr)
@@ -1111,7 +1182,7 @@ def _statics_key(st: dict):
 
 @functools.partial(jax.jit, static_argnames=("st_key", "interpret"))
 def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
-                interpret):
+                interpret, ext=None):
     st = dict(st_key)
     n_u_tot = N_U + st["n_media"]
     n_orig = o.shape[0]
@@ -1127,6 +1198,12 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
         time = jnp.concatenate([time, jnp.zeros((pad,), time.dtype)])
         alive = jnp.concatenate([alive, jnp.zeros((pad,), alive.dtype)])
         u = jnp.concatenate([u, jnp.full((pad, u.shape[1]), 0.5, u.dtype)])
+        if ext is not None:
+            # pad lanes: t = +inf (no mesh hit), everything else zero
+            ext = (jnp.concatenate([ext[0],
+                                    jnp.full((pad,), jnp.inf, o.dtype)]),
+                   ) + tuple(jnp.concatenate([e, jnp.zeros((pad,), o.dtype)])
+                             for e in ext[1:])
     rows = n // LANE
     shape = (rows, LANE)
     plane = lambda x: x.reshape(rows, LANE)
@@ -1135,8 +1212,11 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
               plane(time), plane(alive.astype(jnp.int32))]
     # uniforms as one (n_u, rows, 128) stack (block indexed per tile)
     u_stack = jnp.stack([plane(u[:, i]) for i in range(n_u_tot)])
+    n_ext = len(ext) if ext is not None else 0
+    ext_stacks = ([jnp.stack([plane(e.astype(jnp.float32)) for e in ext])]
+                  if n_ext else [])
 
-    kernel = functools.partial(_bounce_kernel, st, n_u_tot)
+    kernel = functools.partial(_bounce_kernel, st, n_u_tot, n_ext)
 
     grid = (rows // TILE_ROWS,)
     row_spec_f = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
@@ -1146,7 +1226,9 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
                  pl.BlockSpec((1, 3), lambda i: (0, 0))]
                 + [row_spec_f] * 8
                 + [pl.BlockSpec((n_u_tot, TILE_ROWS, LANE),
-                                lambda i: (0, i, 0))])
+                                lambda i: (0, i, 0))]
+                + ([pl.BlockSpec((n_ext, TILE_ROWS, LANE),
+                                 lambda i: (0, i, 0))] if n_ext else []))
     n_img = 4 if st["has_image"] else 0
     out_specs = [row_spec_f] * (14 + n_img)
     out_shapes = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 6 + \
@@ -1163,7 +1245,7 @@ def _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg, st_key,
         out_shape=out_shapes,
         interpret=interpret,
     )(prims, lights, med, blk, bg.reshape(1, 3).astype(jnp.float32),
-      *planes, u_stack)
+      *planes, u_stack, *ext_stacks)
 
     (er, eg, eb, wr, wg, wb, cf, nox, noy, noz, ndx, ndy, ndz, alive2,
      *img_outs) = outs
@@ -1204,18 +1286,72 @@ def patch_image_weight(scene: T.Scene, W, img):
         axis=-1)
 
 
-def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False):
+def bounce(scene_tables, statics, o, d, time, alive, u, bg, interpret=False,
+           ext=None):
     """One fused bounce for the whole ray bundle (uniform-variate-fed,
     bit-comparable with the XLA `_bounce` given the same threefry key).
 
     scene_tables = pack_scene(scene); statics = scene_statics(scene);
     o, d: (N, 3); time, alive: (N,); u: (N, N_U + n_media) uniforms.
+    With statics["ext_hit"], `ext` = the precomputed mesh closest hit as
+    (N,) planes (t, outward nx, ny, nz, [u, v,] *mat_layout cols).
     Returns E (N,3), W (N,3), cf (N,), new_o, new_d (N,3), alive' (N,),
     img (None, or the (ratio, u, v, img_id) planes for
     `patch_image_weight`)."""
     prims, lights, med, blk = scene_tables
     return _bounce_jit(prims, lights, med, blk, o, d, time, alive, u, bg,
-                       st_key=_statics_key(statics), interpret=interpret)
+                       st_key=_statics_key(statics), interpret=interpret,
+                       ext=ext)
+
+
+def mesh_ext_planes(scene: T.Scene, statics, o, d, t_cap, alive,
+                    interpret=False):
+    """Compute the external-mesh-hit planes for `bounce(..., ext=...)`:
+    run the mesh closest hit (the binned intersector / BVH8 walk via
+    pallas_bvh_closest, CPU skip-link walk under interpret), gather the
+    winning triangle's attributes (normals/uv/material — the XLA side of
+    the split: per-lane gathers have no Mosaic lowering), and join the
+    material columns per lane. t_cap from the caller's cheap dense-class
+    pass prunes the traversal (bvh.go:69-82's shrinking rayT.Max)."""
+    from go_raytracer_tpu.ops import trace as trace_mod
+
+    if jax.default_backend() == "tpu" and not interpret:
+        t_t, i_t = trace_mod.pallas_bvh_closest(scene, o, d, t_cap=t_cap,
+                                                alive=alive)
+    else:
+        t_t, i_t = trace_mod.bvh_tri_closest(scene, o, d, trace_mod.T_MIN,
+                                             trace_mod.INF)
+        i_t = jnp.where(jnp.isfinite(t_t), i_t, -1)
+        t_t = jnp.where(t_t < t_cap, t_t, jnp.inf)
+    # the binned/walk kernels return the UNTOUCHED cap (finite) with
+    # idx = -1 when no triangle beats it — gate on the idx
+    hit = jnp.isfinite(t_t) & (i_t >= 0) & (t_t < t_cap)
+    idx = jnp.where(hit, i_t, 0)
+    tr = scene.triangles
+    t_safe = jnp.where(hit, t_t, 1.0)
+    # outward = the interpolated vertex normal when present, else the
+    # face normal (objects.go:389-405, 450-456) — UN-flipped; the kernel
+    # recomputes front = d . outward < 0 (hittable.go:27-34)
+    _, bu, bv, _ = trace_mod.tri_hit_gathered(tr, idx, o, d,
+                                              -jnp.inf, jnp.inf)
+    w = 1.0 - bu - bv
+    vn = tr.vn[idx]
+    n_interp = (w[:, None] * vn[:, 0] + bu[:, None] * vn[:, 1]
+                + bv[:, None] * vn[:, 2])
+    ln = jnp.sqrt(jnp.sum(n_interp * n_interp, axis=-1))
+    n_interp = n_interp / jnp.maximum(ln, 1e-30)[:, None]
+    n_raw = jnp.where(tr.has_vn[idx][:, None], n_interp, tr.n_face[idx])
+    ext = [jnp.where(hit, t_safe, jnp.inf),
+           n_raw[:, 0], n_raw[:, 1], n_raw[:, 2]]
+    if statics["has_image"]:
+        uvt = tr.uv[idx]
+        uv_i = (w[:, None] * uvt[:, 0] + bu[:, None] * uvt[:, 1]
+                + bv[:, None] * uvt[:, 2])
+        ext.append(jnp.where(tr.has_uv[idx], uv_i[:, 0], bu))
+        ext.append(jnp.where(tr.has_uv[idx], uv_i[:, 1], bv))
+    lay = _mat_layout(statics)
+    ext.extend(join_mat_cols(scene, lay, tr.mat_id[idx]))
+    return tuple(ext)
 
 
 # ---------------------------------------------------------------------------

@@ -241,3 +241,143 @@ def stream_rows(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx, *,
         **params,
     )(tri_lines, glo, ghi, ox, oy, oz, dx, dy, dz, t, idx)
     return t2, idx2
+
+
+def _round_kernel(k_cl, n_mask, n_oct,
+                  tri_ref, box_ref, glo_ref, ghi_ref, ca_ref, cb_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  t_ref, idx_ref, *refs):
+    """One FUSED traversal round for an 8-row block: stream the block's
+    group range (exactly _stream_kernel), mark the streamed cluster
+    interval [ca, cb] in the per-lane processed-bit planes, then scan
+    the cluster boxes for each lane's next candidate — v1's XLA
+    candidate/mask fusions (~2-4 ms per bounce level on the S8 profile)
+    collapse into the kernel. The octet loop is python-unrolled so mask
+    words index statically (n_oct <= 32 for K <= 256)."""
+    m_in = refs[:n_mask]
+    t_out, idx_out = refs[n_mask], refs[n_mask + 1]
+    key_out = refs[n_mask + 2]
+    m_out = refs[n_mask + 3:]
+    i = pl.program_id(0)
+    rows = [
+        tuple(ref[pl.ds(s, 1), :] for ref in
+              (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+        for s in range(TILE_ROWS)
+    ]
+
+    # ---- stream ---------------------------------------------------------
+    def g_body(g, carry):
+        e = _entry(tri_ref, g)
+        out = []
+        for s in range(TILE_ROWS):
+            ox, oy, oz, dx, dy, dz = rows[s]
+            out.append(_mt_entry(e, ox, oy, oz, dx, dy, dz,
+                                 carry[2 * s], carry[2 * s + 1]))
+        return tuple(x for pair in out for x in pair)
+
+    init = []
+    for s in range(TILE_ROWS):
+        init.append(t_ref[pl.ds(s, 1), :])
+        init.append(idx_ref[pl.ds(s, 1), :])
+    res = jax.lax.fori_loop(glo_ref[i], ghi_ref[i], g_body, tuple(init))
+    t_b = [res[2 * s] for s in range(TILE_ROWS)]
+    i_b = [res[2 * s + 1] for s in range(TILE_ROWS)]
+
+    # ---- mark [ca, cb] in the per-lane masks ---------------------------
+    a = ca_ref[i]
+    b = cb_ref[i]
+    full = jnp.int32(-1)
+    masks = []
+    for j in range(n_mask):
+        lo_b = jnp.clip(a - 32 * j, 0, 32)
+        hi_b = jnp.clip(b + 1 - 32 * j, 0, 32)
+        hi_bits = jnp.where(hi_b >= 32, full, (jnp.int32(1) << hi_b) - 1)
+        lo_bits = jnp.where(lo_b >= 32, full, (jnp.int32(1) << lo_b) - 1)
+        seg = jnp.bitwise_and(hi_bits, ~lo_bits)
+        masks.append([m_in[j][pl.ds(s, 1), :] | seg
+                      for s in range(TILE_ROWS)])
+
+    # ---- next-candidate scan -------------------------------------------
+    tiny = 1e-30
+    iota8i = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    iota8 = iota8i.astype(jnp.float32)
+    big_k = jnp.float32(k_cl)
+    for s in range(TILE_ROWS):
+        ox, oy, oz, dx, dy, dz = rows[s]
+        sd = lambda v: jnp.where(jnp.abs(v) < tiny,
+                                 jnp.where(v < 0, -tiny, tiny), v)
+        ivx, ivy, ivz = 1.0 / sd(dx), 1.0 / sd(dy), 1.0 / sd(dz)
+        bn = jnp.full((1, LANE), jnp.inf, jnp.float32)
+        bk = jnp.full((1, LANE), big_k, jnp.float32)
+        for m in range(n_oct):
+            e = _entry(box_ref, m)
+            kid = jnp.float32(8 * m) + iota8
+            free = jnp.bitwise_and(
+                jnp.right_shift(masks[m >> 2][s], (m & 3) << 3), 0xFF)
+            free = jnp.bitwise_and(jnp.right_shift(
+                jnp.broadcast_to(free, (8, LANE)), iota8i), 1) == 0
+            tx0 = (e[:, 0:1] - ox) * ivx
+            tx1 = (e[:, 3:4] - ox) * ivx
+            ty0 = (e[:, 1:2] - oy) * ivy
+            ty1 = (e[:, 4:5] - oy) * ivy
+            tz0 = (e[:, 2:3] - oz) * ivz
+            tz1 = (e[:, 5:6] - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.maximum(tz0, tz1))
+            near = jnp.maximum(near, T_MIN)
+            ok = jnp.logical_and(near < jnp.minimum(far, t_b[s]), free)
+            nearm = jnp.where(ok, near, jnp.inf)
+            rmin = jnp.min(nearm, axis=0, keepdims=True)
+            kmin = jnp.min(jnp.where(
+                jnp.logical_and(ok, nearm <= rmin), kid, big_k),
+                axis=0, keepdims=True)
+            better = jnp.logical_or(
+                rmin < bn, jnp.logical_and(rmin == bn, kmin < bk))
+            bn = jnp.where(better, rmin, bn)
+            bk = jnp.where(better, kmin, bk)
+        t_out[pl.ds(s, 1), :] = t_b[s]
+        idx_out[pl.ds(s, 1), :] = i_b[s]
+        key_out[pl.ds(s, 1), :] = bk.astype(jnp.int32)
+        for j in range(n_mask):
+            m_out[j][pl.ds(s, 1), :] = masks[j][s]
+
+
+@functools.partial(jax.jit, static_argnames=("k_cl", "interpret"))
+def stream_round_rows(tri_lines, box_lines, glo, ghi, ca, cb,
+                      ox, oy, oz, dx, dy, dz, t, idx, masks, *,
+                      k_cl, interpret=False):
+    """One fused traversal round (stream + interval mark + next-candidate
+    scan) per 8-row block; see _round_kernel. masks: tuple of per-lane
+    (rows, 128) i32 processed-bit planes. Returns (t, idx, key, masks')
+    where key is each lane's next candidate cluster (k_cl = none)."""
+    rows = ox.shape[0]
+    grid = (rows // TILE_ROWS,)
+    n_mask = len(masks)
+    n_oct = (k_cl + 7) // 8
+    row_spec = pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0))
+    table_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0))
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    table_bytes = (tri_lines.size + box_lines.size) * 4
+    params = {}
+    if table_bytes > 8 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(table_bytes + 32 * 1024 * 1024))
+    outs = pl.pallas_call(
+        functools.partial(_round_kernel, k_cl, n_mask, n_oct),
+        grid=grid,
+        in_specs=[table_spec(tri_lines), table_spec(box_lines)]
+        + [smem_spec] * 4 + [row_spec] * (8 + n_mask),
+        out_specs=[row_spec] * (3 + n_mask),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+                   jax.ShapeDtypeStruct((rows, LANE), jnp.int32)]
+        + [jax.ShapeDtypeStruct((rows, LANE), jnp.int32)] * n_mask,
+        interpret=interpret,
+        **params,
+    )(tri_lines, box_lines, glo, ghi, ca, cb,
+      ox, oy, oz, dx, dy, dz, t, idx, *masks)
+    return outs[0], outs[1], outs[2], tuple(outs[3:])

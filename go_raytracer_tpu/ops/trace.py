@@ -246,14 +246,22 @@ def pallas_bvh_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
     from go_raytracer_tpu.ops.pallas import traverse as ptrav
 
     bvh = scene.tri_bvh
-    if (bvh.cl_lines is not None
-            and os.environ.get("GRT_MESH", "binned") == "binned"):
-        # binned intersector (round 4, default): sorts the pool itself,
-        # so it replaces both the coherence sort and the walk below.
-        # The stream kernel keeps the packed group table VMEM-resident
-        # when it fits (~12 MB of the ~16 MB/core budget, ~196k tris) and
-        # switches to double-buffered HBM group DMA beyond that
-        # (ops/pallas/stream.py, round 5) — same winners either way.
+    mesh_env = os.environ.get("GRT_MESH", "auto")
+    if bvh.cl2_lines is not None and mesh_env == "binned2":
+        # v2 persistent-block intersector (ops/pallas/stream2.py):
+        # MEASURED NEGATIVE in-render on the v5e (0.50M vs v1's 2.24M at
+        # the S8 spp16 config) — without per-round global re-sorting the
+        # fixed blocks diverge and the sequential grid serializes their
+        # independent round loops; kept selectable for experiments
+        return binned2_closest(scene, o, d, t_cap, alive)
+    if (bvh.cl_lines is not None and mesh_env in ("auto", "binned",
+                                                  "binned2")):
+        # v1 binned intersector (round 4): sorts the pool by candidate
+        # cluster every round. The stream kernel keeps the packed group
+        # table VMEM-resident when it fits (~12 MB of the ~16 MB/core
+        # budget, ~196k tris) and switches to double-buffered HBM group
+        # DMA beyond that (ops/pallas/stream.py, round 5) — same winners
+        # either way.
         return binned_closest(scene, o, d, t_cap, alive)
     n = o.shape[0]
     lo = bvh.node_min[0]
@@ -423,6 +431,17 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
         best_k = jnp.where(has, best_k, k_cl)
         return best_k, has
 
+    # fused round (round 5): the stream kernel also marks the streamed
+    # interval in the per-lane bit planes and scans each lane's next
+    # candidate in-kernel, so the XLA shell per round is just the sort +
+    # the tiny per-block range math. MEASURED A WASH on the v5e (S8
+    # spp16: 2.34M both ways — the XLA candidate/mask fusions overlap or
+    # cost what the in-kernel scan adds), so the default stays the XLA
+    # form; GRT_B1_FUSED=1 selects it. Requires the packed cluster-box
+    # lines and a python-unrolled octet loop (K <= 256).
+    fused = (bvh.cl_boxes is not None and k_cl <= 256
+             and os.environ.get("GRT_B1_FUSED", "0") == "1")
+
     def make_body(n_p):
         rows_p = n_p // _BIN_LANE
         blocks_p = rows_p // _BIN_ROWS
@@ -444,6 +463,24 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
             glo = jnp.where(empty, 0, gs[jnp.clip(blk_first, 0, k_cl - 1)])
             ghi = jnp.where(empty, 0,
                             gs[jnp.clip(blk_last, 0, k_cl - 1) + 1])
+            plane = lambda x: x.reshape(rows_p, _BIN_LANE)
+            if fused:
+                ca = jnp.where(empty, 0, blk_first)
+                cb = blk_last          # -1 when empty: marks nothing
+                t2, idx2, key2, masks2 = pstream.stream_round_rows(
+                    bvh.cl_lines, bvh.cl_boxes, glo, ghi, ca, cb,
+                    plane(ox), plane(oy), plane(oz),
+                    plane(dx), plane(dy), plane(dz),
+                    plane(t_best), plane(idx),
+                    tuple(plane(m) for m in masks),
+                    k_cl=k_cl, interpret=interpret)
+                t_best = t2.reshape(n_p)
+                idx = idx2.reshape(n_p)
+                key = key2.reshape(n_p)
+                masks = tuple(m.reshape(n_p) for m in masks2)
+                n_active = jnp.sum((key < k_cl).astype(jnp.int32))
+                return (i + 1, ox, oy, oz, dx, dy, dz, t_best, idx,
+                        masks, io, key, n_active)
             # mark every cluster in the block range processed, per lane
             ca = jnp.repeat(blk_first, _BIN_ROWS * _BIN_LANE)
             cb = jnp.repeat(blk_last, _BIN_ROWS * _BIN_LANE)
@@ -460,7 +497,6 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
                                     (jnp.int32(1) << lo_b) - 1)
                 new_masks.append(masks[m] | (hi_bits & ~lo_bits))
             masks = tuple(new_masks)
-            plane = lambda x: x.reshape(rows_p, _BIN_LANE)
             t2, idx2 = pstream.stream_rows(
                 bvh.cl_lines, glo, ghi, plane(ox), plane(oy), plane(oz),
                 plane(dx), plane(dy), plane(dz), plane(t_best), plane(idx),
@@ -518,6 +554,67 @@ def binned_closest(scene: T.Scene, o, d, t_cap=None, alive=None,
     # undo the pool permutation (sorting by the carried iota restores
     # original lane order exactly)
     _, t_o, i_o = jax.lax.sort((io, t_best, idx), dimension=0, num_keys=1,
+                               is_stable=False)
+    return t_o[:n_orig], i_o[:n_orig]
+
+
+def binned2_closest(scene: T.Scene, o, d, t_cap=None, alive=None):
+    """Closest triangle hit via the v2 persistent-block binned
+    intersector (ops/pallas/stream2.py): ONE coherence sort (direction
+    octant + origin Morton, the pallas_bvh_closest key) groups lanes,
+    then a single kernel launch runs every traversal round in-kernel —
+    candidate scan over the packed cluster boxes, per-block range
+    reduce, dense group stream, per-lane (near, k) frontier advance —
+    with each 8-row block draining independently. Winners bit-match the
+    BVH8 walk (tests/test_binned.py)."""
+    from go_raytracer_tpu.ops.pallas import stream2 as pstream2
+
+    bvh = scene.tri_bvh
+    n_orig = o.shape[0]
+    tile = _BIN_ROWS * _BIN_LANE
+    n = ((n_orig + tile - 1) // tile) * tile
+    pad = n - n_orig
+    if t_cap is None:
+        t_cap = jnp.full((n_orig,), INF, dtype=o.dtype)
+    if alive is not None:
+        t_cap = jnp.where(alive, t_cap, 0.0)
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_cap = jnp.concatenate([t_cap, jnp.zeros((pad,), t_cap.dtype)])
+
+    # coherence sort (see pallas_bvh_closest): dead/capped lanes to the
+    # tail so whole blocks drain on the first scan
+    lo = bvh.node_min[0]
+    ext = jnp.maximum(bvh.node_max[0] - lo, 1e-6)
+    q = jnp.clip(((o - lo) / ext * 32.0), 0.0, 31.0).astype(jnp.int32)
+    morton = (_part1by2(q[:, 0]) << 2) | (_part1by2(q[:, 1]) << 1) | \
+        _part1by2(q[:, 2])
+    octant = ((d[:, 0] > 0).astype(jnp.int32) << 2) \
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1) \
+        | (d[:, 2] > 0).astype(jnp.int32)
+    key = (octant << 15) | morton
+    key = jnp.where(t_cap > 0.0, key, jnp.int32(0x7FFFFFFF))
+    iota = jnp.arange(n, dtype=jnp.int32)
+    (_, io, ox, oy, oz, dx, dy, dz, cap_s) = jax.lax.sort(
+        (key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_cap),
+        dimension=0, num_keys=1, is_stable=False)
+
+    rows = n // _BIN_LANE
+    plane = lambda x: x.reshape(rows, _BIN_LANE)
+    idx0 = jnp.full((n,), -1, jnp.int32)
+    k2 = int(bvh.cl2_gs.shape[0]) - 1
+    interpret = jax.default_backend() != "tpu"
+    t2, i2 = pstream2.stream2_rows(
+        bvh.cl2_lines, bvh.cl2_boxes, bvh.cl2_gs,
+        plane(ox), plane(oy), plane(oz), plane(dx), plane(dy), plane(dz),
+        plane(cap_s), plane(idx0), k2=k2, interpret=interpret)
+    t_s = t2.reshape(n)
+    i_s = i2.reshape(n)
+    # no-hit lanes keep their untouched cap with idx = -1 (the walk's
+    # convention — callers gate on idx >= 0)
+    _, t_o, i_o = jax.lax.sort((io, t_s, i_s), dimension=0, num_keys=1,
                                is_stable=False)
     return t_o[:n_orig], i_o[:n_orig]
 

@@ -454,6 +454,17 @@ class SceneBuilder:
             cl = cl_mod.partition(
                 fb, v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
                 max_tris=max_tris)
+            # v2 fine partition (stream2's per-lane frontier carries no
+            # mask planes, so K is cheap): 128-tri clusters, K <= 1024.
+            # Only built when the packed table fits the stream kernel's
+            # VMEM budget (~196k tris) — larger meshes use v1/walk.
+            cl2 = None
+            # packed table = 512 B per 8-tri group = 64 B/tri
+            if n_td * 64 <= 12 * 1024 * 1024:
+                max_tris2 = int(os.environ.get("GRT_CLUSTER2_TRIS", "128"))
+                cl2 = cl_mod.partition(
+                    fb, v0_np, v[:n_td, 1] - v0_np, v[:n_td, 2] - v0_np,
+                    max_tris=max_tris2, max_clusters=1024)
             tri_bvh = T.TriBVH(
                 node_min=f(fb.node_min), node_max=f(fb.node_max),
                 first=i32(fb.first), count=i32(fb.count), skip=i32(fb.skip),
@@ -465,7 +476,14 @@ class SceneBuilder:
                 cl_lo=jnp.asarray(cl.aabb_lo),
                 cl_hi=jnp.asarray(cl.aabb_hi),
                 cl_gs=jnp.asarray(cl.group_start),
-                cl_lines=jnp.asarray(cl.tri_lines))
+                cl_lines=jnp.asarray(cl.tri_lines),
+                cl_boxes=jnp.asarray(
+                    cl_mod.pack_cluster_boxes(cl.aabb_lo, cl.aabb_hi)),
+                cl2_boxes=(None if cl2 is None else jnp.asarray(
+                    cl_mod.pack_cluster_boxes(cl2.aabb_lo, cl2.aabb_hi))),
+                cl2_gs=None if cl2 is None else jnp.asarray(cl2.group_start),
+                cl2_lines=(None if cl2 is None
+                           else jnp.asarray(cl2.tri_lines)))
         else:
             tri_bvh = T.TriBVH(
                 node_min=f(np.zeros((1, 3))), node_max=f(np.ones((1, 3))),

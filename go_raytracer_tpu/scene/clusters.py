@@ -31,6 +31,24 @@ from go_raytracer_tpu.scene.bvh import FlatBVH
 from go_raytracer_tpu.scene.bvh8 import ROW_PAD, WIDE, _pack_lines
 
 
+def pack_cluster_boxes(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Pack cluster AABBs for the in-kernel candidate scan
+    (ops/pallas/stream2.py): octet m holds clusters [8m, 8m+8) in
+    sublanes with fields lo.xyz, hi.xyz at lanes 0-5 (bvh8._pack_lines
+    layout — unpacked by traverse8._entry). Padding clusters get
+    inverted boxes (lo=+inf, hi=-inf) that can never be hit."""
+    k = lo.shape[0]
+    pad = (-k) % 8
+    if pad:
+        lo = np.concatenate([lo, np.full((pad, 3), np.inf, lo.dtype)])
+        hi = np.concatenate([hi, np.full((pad, 3), -np.inf, hi.dtype)])
+    m = lo.shape[0] // 8
+    entries = np.zeros((m, 8, ROW_PAD), np.float32)
+    entries[:, :, 0:3] = lo.reshape(m, 8, 3)
+    entries[:, :, 3:6] = hi.reshape(m, 8, 3)
+    return _pack_lines(entries)
+
+
 @dataclasses.dataclass
 class Clusters:
     aabb_lo: np.ndarray     # (K, 3) f32 cluster box min

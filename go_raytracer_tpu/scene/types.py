@@ -270,6 +270,14 @@ class TriBVH:
     cl_hi: jnp.ndarray = None    # (K, 3) cluster box max
     cl_gs: jnp.ndarray = None    # (K + 1,) i32 group offsets
     cl_lines: jnp.ndarray = None  # packed tri-group register lines
+    cl_boxes: jnp.ndarray = None  # packed cluster-box lines (fused round)
+    # fine-grained partition for the v2 persistent-block intersector
+    # (ops/pallas/stream2.py): the per-lane (near, k) frontier replaces
+    # the mask planes, so K is unbounded by sort width and clusters can
+    # be small; None when the table exceeds the VMEM budget
+    cl2_boxes: jnp.ndarray = None  # packed cluster-box lines
+    cl2_gs: jnp.ndarray = None     # (K2 + 1,) i32 group offsets
+    cl2_lines: jnp.ndarray = None  # packed tri-group lines (v2 grain)
 
 
 @struct.dataclass

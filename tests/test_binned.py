@@ -148,3 +148,60 @@ def test_binned_matches_dense_via_trace_route(monkeypatch):
     t_p = np.asarray(t_p)
     assert (np.isfinite(t_p) == hits).all()
     np.testing.assert_allclose(t_p[hits], t_d[hits], rtol=2e-4)
+
+
+def test_binned2_matches_walk(monkeypatch):
+    """The v2 persistent-block intersector (ops/pallas/stream2.py,
+    GRT_MESH=binned2 — a measured performance negative, kept selectable)
+    bit-matches the walk."""
+    import os
+    os.environ["GRT_CLUSTER_TRIS"] = "64"
+    os.environ["GRT_CLUSTER2_TRIS"] = "32"
+    try:
+        s_bvh, _ = _scenes_with_and_without_bvh(3000, seed=33)
+    finally:
+        del os.environ["GRT_CLUSTER_TRIS"]
+        del os.environ["GRT_CLUSTER2_TRIS"]
+    bvh = s_bvh.tri_bvh
+    assert bvh.cl2_lines is not None
+    rs = np.random.default_rng(34)
+    n = 2176
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    cap = jnp.asarray(np.where(rs.uniform(size=n) < 0.3, 5.0, np.inf),
+                      jnp.float32)
+    alive = jnp.asarray(rs.uniform(size=n) < 0.9)
+    t_b, i_b = trace_mod.binned2_closest(s_bvh, o, d, cap, alive)
+    t_w, i_w = ptrav8.bvh8_closest(
+        bvh.nodes8, bvh.tris8, o, d, jnp.where(alive, cap, 0.0),
+        dense_nodes=bvh.bvh8_dense, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_w))
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_w), rtol=1e-5)
+
+
+def test_binned_fused_round_matches_walk(monkeypatch):
+    """The fused-round stream kernel (stream_round_rows: stream +
+    interval mark + in-kernel candidate scan; GRT_B1_FUSED=1 — measured
+    a wash, kept selectable) bit-matches the walk."""
+    monkeypatch.setenv("GRT_B1_FUSED", "1")
+    import os
+    os.environ["GRT_CLUSTER_TRIS"] = "64"
+    try:
+        s_bvh, _ = _scenes_with_and_without_bvh(2500, seed=55)
+    finally:
+        del os.environ["GRT_CLUSTER_TRIS"]
+    bvh = s_bvh.tri_bvh
+    assert bvh.cl_boxes is not None
+    rs = np.random.default_rng(56)
+    n = 2176
+    o = jnp.asarray(rs.uniform(-15, 15, (n, 3)), dtype=jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), dtype=jnp.float32)
+    cap = jnp.asarray(np.where(rs.uniform(size=n) < 0.3, 5.0, np.inf),
+                      jnp.float32)
+    alive = jnp.asarray(rs.uniform(size=n) < 0.9)
+    t_b, i_b = trace_mod.binned_closest(s_bvh, o, d, cap, alive)
+    t_w, i_w = ptrav8.bvh8_closest(
+        bvh.nodes8, bvh.tris8, o, d, jnp.where(alive, cap, 0.0),
+        dense_nodes=bvh.bvh8_dense, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_b), np.asarray(i_w))
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_w), rtol=1e-5)
