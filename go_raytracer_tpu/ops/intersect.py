@@ -181,7 +181,13 @@ def sphere_roots(center: jnp.ndarray, radius: jnp.ndarray, o: jnp.ndarray,
     h = vm.dot(d, oc)
     c = vm.length_squared(oc) - radius * radius
     disc = h * h - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # grad-safe sqrt (core/rng._sqrt0 pattern): sqrt(max(disc, 0)) has an
+    # inf backward at clamped arguments, and inf * 0-cotangent NaN-poisons
+    # whole gradient pytrees — found round 5 on camera gradients through a
+    # sphere MEDIUM boundary (missing rays hit the clamp; the round-4 fix
+    # covered the sampler sqrts but not this one). Forward bit-identical.
+    pos = disc > 0
+    sqrtd = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
     return (h - sqrtd) / a, (h + sqrtd) / a, disc >= 0.0
 
 

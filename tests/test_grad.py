@@ -226,3 +226,140 @@ def test_grad_is_deterministic():
     g2 = jax.grad(lambda p: _render_mean(scene, p, key))(params)
     for k in g1:
         np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g2[k]))
+
+
+def test_grad_scale_cornell_fd():
+    """Scale regression for GRAD.md's FD table (VERDICT round-4 item 5):
+    the pathwise-tight parameter rows (albedo, emission, background) on
+    the REAL cornellBox scene at 64x64 @ 8spp, depth 10 — the config
+    class where round 4 found two backward-poisoning NaN bugs that toy
+    scenes missed."""
+    from go_raytracer_tpu.render import camera as camera_mod
+    from go_raytracer_tpu.scenes import registry
+
+    scene, cam = registry.cornell_box()
+    cam.width = 64
+    cam.aspect_ratio = 1.0
+    cam.samples_per_pixel = 8
+    cam.max_depth = 10
+    arrays = cam.derived()
+    w = cam.width
+    npix = w * cam.image_height
+    sqrt_spp = cam.spp_sqrt
+    n_strata = sqrt_spp * sqrt_spp
+    ids = jnp.tile(jnp.arange(npix, dtype=jnp.int32), n_strata)
+    st = jnp.repeat(jnp.arange(n_strata, dtype=jnp.int32), npix)
+    s_i = (st // sqrt_spp).astype(jnp.float32)
+    s_j = (st % sqrt_spp).astype(jnp.float32)
+    key = jax.random.key(5)
+    params = pmesh.extract_params(scene)
+
+    def f(p):
+        sc = pmesh.apply_params(scene, p)
+        k_rays, k_path = jax.random.split(key)
+        o, d, t = camera_mod.generate_rays(arrays, w, ids, s_i, s_j, k_rays)
+        L, _ = wavefront.radiance(sc, o, d, t, k_path, cam.max_depth,
+                                  cam.max_contribution, mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    g = jax.jit(jax.grad(f))(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert bool(jnp.isfinite(leaf).all())
+    f_j = jax.jit(f)
+
+    def fd(path, idx, eps):
+        def shift(sign):
+            p2 = dict(params)
+            p2[path] = params[path].at[idx].add(sign * eps)
+            return float(f_j(p2))
+        return (shift(+1) - shift(-1)) / (2 * eps)
+
+    # white-wall albedo R (texture row 0), light emission R, background G
+    emit_rows = np.where(np.asarray(scene.materials.kind) == 3)[0]
+    emit_tex = int(np.asarray(scene.materials.tex_id)[emit_rows[0]])
+    checks = [
+        ("tex_color", (0, 0), 1e-2, 0.05),
+        ("tex_color", (emit_tex, 0), 1e-1, 0.05),
+        ("background", (1,), 1e-2, 0.05),
+    ]
+    for path, idx, eps, rel in checks:
+        a = float(g[path][idx])
+        d_fd = fd(path, idx, eps)
+        assert a == pytest.approx(d_fd, rel=rel, abs=5e-5), (path, idx)
+
+
+def _cam_grad_vs_fd(scene, eps=1e-3, n=4096, depth=3):
+    """Camera-x translation: (analytic, FD) through the scan wavefront
+    with common random numbers."""
+    from go_raytracer_tpu.render import camera as camera_mod
+    from go_raytracer_tpu.render.camera import Camera
+
+    cam = Camera(width=64, aspect_ratio=1.0, samples_per_pixel=1,
+                 max_depth=depth, vertical_fov=50)
+    cam.position((0, 0, 6), (0, 0, 0))
+    arrays = cam.derived()
+    ids = jnp.arange(64 * 64, dtype=jnp.int32)
+
+    def f(dx):
+        delta = jnp.asarray([dx, 0.0, 0.0]) if jnp.ndim(dx) == 0 else dx
+        arr = arrays.replace(center=arrays.center + delta,
+                             pixel00=arrays.pixel00 + delta)
+        o, d, t = camera_mod.generate_rays(arr, 64, ids, jnp.zeros(()),
+                                           jnp.zeros(()), jax.random.key(6))
+        L, _ = wavefront.radiance(scene, o, d, t, jax.random.key(8), depth,
+                                  1.5, mode="scan")
+        return jnp.nan_to_num(L).mean()
+
+    g = float(jax.grad(f)(jnp.zeros(())))
+    fd = (float(f(jnp.asarray(eps))) - float(f(jnp.asarray(-eps)))) / (2 * eps)
+    return g, fd
+
+
+def test_grad_camera_boundary_term_controlled():
+    """VERDICT round-4 item 6: the camera-origin FD gap is a moving-
+    discontinuity boundary term, not a bug. A FLAT-radiance scene (black
+    sphere, constant background, no textures) makes the decomposition
+    exact: every value a path computes is independent of the camera
+    origin, so the TRUE interior (pathwise) derivative is zero and
+    everything FD measures is the silhouette boundary term — pixel-flip
+    quanta of size jump/(n_pixels * 2eps) under common random numbers.
+    The analytic gradient must be ~0 (machine noise) while FD is
+    dominated by at least one silhouette flip. The silhouette-FREE
+    counterpart (test_grad_camera_translation_matches_fd) shows the
+    opposite regime: shading varies, no silhouette, analytic == FD."""
+    from go_raytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder(background=(2.0, 2.0, 2.0))
+    b.sphere((0.8, 0.0, 0.0), 1.0, b.lambertian((0.02, 0.02, 0.02)))
+    q = b.quad((50, 50, 50), (1, 0, 0), (0, 1, 0), b.diffuse_light((1, 1, 1)))
+    b.add_light(q)
+    g_s, fd_s = _cam_grad_vs_fd(b.build())
+    # interior derivative: exactly zero up to accumulation noise
+    assert abs(g_s) < 1e-6, g_s
+    # FD: carries at least one boundary flip (one pixel's jump of ~2
+    # radiance over 4096 pixels across 2e-3 of translation ~ 0.24)
+    assert abs(fd_s) > 0.05, fd_s
+
+
+def test_grad_camera_boundary_term_scales_with_jump():
+    """Companion scaling check: with the geometry (and therefore the
+    set of silhouette pixel flips under common random numbers) held
+    FIXED, the FD residual must scale LINEARLY in the silhouette
+    radiance jump. Scaling the background brightness of the black-
+    sphere scene scales the jump exactly; the measured residual ratio
+    matches the brightness ratio — boundary-term behaviour, not
+    noise."""
+    from go_raytracer_tpu.scene.builder import SceneBuilder
+
+    resids = []
+    for bg in (0.6, 2.0):
+        b = SceneBuilder(background=(bg,) * 3)
+        b.sphere((0.8, 0.0, 0.0), 1.0, b.lambertian((0.02,) * 3))
+        q = b.quad((50, 50, 50), (1, 0, 0), (0, 1, 0),
+                   b.diffuse_light((1, 1, 1)))
+        b.add_light(q)
+        g, fd = _cam_grad_vs_fd(b.build())
+        assert abs(g) < 1e-6  # interior derivative stays ~0 throughout
+        resids.append(abs(fd - g))
+    ratio = resids[1] / resids[0]
+    assert ratio == pytest.approx(2.0 / 0.6, rel=0.1), resids
