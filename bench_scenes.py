@@ -62,15 +62,14 @@ def main(argv=None):
                 rates.append(st["rays_per_s"])
                 if st["elapsed_s"] > 120:
                     break
-            # scenes whose whole render is under ~2 s (cornellSmoke:
+            # scenes whose whole render loop is under ~1 s (cornellSmoke:
             # one 0.35 s device window) are smaller than the tunnel's
-            # per-dispatch jitter and reps swing +-40%; batch enough
-            # back-to-back renders to integrate over the jitter and
-            # report the batched rate as one more (dominant) rep
-            if st is not None and st["elapsed_s"] < 2.0:
-                k = max(3, int(6.0 / max(st["elapsed_s"], 0.05)))
-                tb = time.time()
-                segs = 0
+            # per-dispatch jitter and reps swing +-40%; integrate the
+            # SAME internal-loop metric over enough back-to-back renders
+            # to average the jitter out, and report that as the rate
+            if st is not None and st["elapsed_s"] < 1.0:
+                k = max(5, int(6.0 / max(st["elapsed_s"], 0.05)))
+                segs, secs = 0, 0.0
                 for _ in range(k):
                     _, stb = regen.render_regen(scene, cam,
                                                 jax.random.key(0),
@@ -78,8 +77,8 @@ def main(argv=None):
                                                 cadence=args.cadence,
                                                 schedule=args.schedule)
                     segs += stb["segments"]
-                batched = segs / (time.time() - tb)
-                rates = [batched] * 2 + rates  # batched rate dominates
+                    secs += stb["elapsed_s"]
+                rates = [segs / secs]
             rate = float(np.median(rates))
             row = {
                 "scene": name, "S": s, "width": cam.width,

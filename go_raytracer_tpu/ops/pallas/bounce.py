@@ -465,12 +465,17 @@ KIND_SPHERE, KIND_QUAD, KIND_MEDIUM, KIND_BOX, KIND_EXT = \
 
 
 def _carry_slots(st: dict):
-    """Scene-gated carry planes after (t_best, n xyz, front_f): the winner
-    kind + aux values exist only when something downstream consumes them
-    (sphere normal resolve / image-texture uv)."""
+    """Scene-gated carry planes after (t_best, n xyz): the winner kind +
+    aux values exist only when something downstream consumes them
+    (sphere normal resolve / image-texture uv / the media front-face
+    override). The front flag is NOT carried (round 5): it is ONE
+    post-loop dot-sign off the winner's outward normal
+    (hittable.go:27-34), dropping a carry plane and a select per
+    primitive row — and matching the XLA path's formulation exactly."""
     slots = []
-    if st["n_sph"] or st["has_image"]:
+    if st["n_sph"] or st["has_image"] or st["n_media"]:
         slots.append("wkind")
+    if st["n_sph"] or st["has_image"]:
         slots.append("auxA")   # sphere radius | quad alpha
     if st["has_image"]:
         slots.append("auxB")   # quad beta
@@ -479,7 +484,7 @@ def _carry_slots(st: dict):
 
 def _init_carry(like, st):
     INF = jnp.asarray(jnp.inf, jnp.float32)
-    n = 5 + len(_carry_slots(st)) + len(_mat_layout(st))
+    n = 4 + len(_carry_slots(st)) + len(_mat_layout(st))
     zeros = [jnp.zeros_like(like) for _ in range(n - 1)]
     return (jnp.full(like.shape, INF, jnp.float32), *zeros)
 
@@ -489,8 +494,7 @@ def _sphere_candidate(st, g, rays, t_best):
     normal (p - c)/r is DEFERRED: the oc vector (already in registers)
     rides the normal slots and the post-section resolve computes
     (t*d - oc)/r once for the winning lane — ~10 fewer vector ops per
-    sphere row. front = sign test on (root*|d|^2 - h)*r, the expanded
-    d . outward."""
+    sphere row; the face flag is one post-loop dot off it."""
     ox, oy, oz, dx, dy, dz, tm, a_quad, inv_a = rays
     cx = g(1) + tm * g(4) - ox
     cy = g(2) + tm * g(5) - oy
@@ -504,8 +508,7 @@ def _sphere_candidate(st, g, rays, t_best):
     sur1 = (T_MIN < r1) & (r1 < t_best)
     root = jnp.where(sur1, r1, r2)
     ok = (g(0) >= 0.0) & (disc >= 0.0) & (T_MIN < root) & (root < t_best)
-    front = (root * a_quad - h) * g(7) < 0.0
-    return ok, root, cx, cy, cz, front, g(7), None
+    return ok, root, cx, cy, cz, g(7), None
 
 
 def _quad_candidate(st, g, rays, t_best):
@@ -525,8 +528,8 @@ def _quad_candidate(st, g, rays, t_best):
     # (alpha, beta) double as the quad's texture uv (objects.go:196-199);
     # carried only when an image texture can read them
     if st["has_image"]:
-        return ok, t_q, g(1), g(2), g(3), dn < 0.0, alpha, beta
-    return ok, t_q, g(1), g(2), g(3), dn < 0.0, None, None
+        return ok, t_q, g(1), g(2), g(3), alpha, beta
+    return ok, t_q, g(1), g(2), g(3), None, None
 
 
 def _box_candidate(inv_d, st, g, rays, t_best):
@@ -600,32 +603,31 @@ def _box_candidate(inv_d, st, g, rays, t_best):
         # object -> world rotation for the normal (transformation.go:87-93)
         nxw = cos * nx + sin * nz
         nzw = -sin * nx + cos * nz
-        return ok, t_c, nxw, ny, nzw, entry, None, None
-    return ok, t_c, nx, ny, nz, entry, None, None
+        return ok, t_c, nxw, ny, nzw, None, None
+    return ok, t_c, nx, ny, nz, None, None
 
 
 def _update_carry(st, carry, cand, g, kind_code):
     """Fold a candidate into the winner carry (closest-hit min-reduce,
     hittable.go:122-138). Normals stay OUTWARD (spheres: deferred oc);
-    the front flag comes from the candidate's cheap sign test and the
-    face-forward flip of hittable.go:27-34 is applied once post-loop."""
+    both the front flag and the face-forward flip of hittable.go:27-34
+    happen once post-loop."""
     n_slots = len(_carry_slots(st))
-    (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+    (t_best, n_hx, n_hy, n_hz, *rest) = carry
     slots = rest[:n_slots]
     mat = rest[n_slots:]
-    ok, t_c, cnx, cny, cnz, c_front, auxA, auxB = cand
+    ok, t_c, cnx, cny, cnz, auxA, auxB = cand
     ok = ok & (t_c < t_best)
     t_best = jnp.where(ok, t_c, t_best)
     n_hx = jnp.where(ok, cnx, n_hx)
     n_hy = jnp.where(ok, cny, n_hy)
     n_hz = jnp.where(ok, cnz, n_hz)
-    front_f = jnp.where(ok, jnp.where(c_front, 1.0, 0.0), front_f)
     new_slots = []
     for name, v in zip(_carry_slots(st), slots):
         cand_v = {"wkind": kind_code, "auxA": auxA, "auxB": auxB}[name]
         new_slots.append(v if cand_v is None else jnp.where(ok, cand_v, v))
     mat = [jnp.where(ok, g(MAT_BASE + i), m) for i, m in enumerate(mat)]
-    return (t_best, n_hx, n_hy, n_hz, front_f, *new_slots, *mat)
+    return (t_best, n_hx, n_hy, n_hz, *new_slots, *mat)
 
 
 def _scan_section(st, prim_ref, blk_ref, base, n_real, candidate_fn,
@@ -753,7 +755,7 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
         t_c = t0 + hit_dist * inv_len
 
         n_slots = len(_carry_slots(st))
-        (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+        (t_best, n_hx, n_hy, n_hz, *rest) = carry
         slots = list(rest[:n_slots])
         mat = rest[n_slots:]
         win = ok & (t_c < t_best)
@@ -763,7 +765,7 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
         n_hx = jnp.where(win, one, n_hx)     # medium.go:54
         n_hy = jnp.where(win, zero, n_hy)
         n_hz = jnp.where(win, zero, n_hz)
-        front_f = jnp.where(win, one, front_f)  # medium.go:55
+        # frontFace = true (medium.go:55) via the post-loop wkind check
         for si, name in enumerate(_carry_slots(st)):
             if name == "wkind":
                 slots[si] = jnp.where(win, KIND_MEDIUM, slots[si])
@@ -774,7 +776,7 @@ def _media_update(st, med_ref, n_media, rays, u, carry):
                     "seed_img": 0.0}
         mat = [jnp.where(win, med_vals[name], mv)
                for name, mv in zip(_mat_layout(st), mat)]
-        carry = (t_best, n_hx, n_hy, n_hz, front_f, *slots, *mat)
+        carry = (t_best, n_hx, n_hy, n_hz, *slots, *mat)
     return carry
 
 
@@ -816,9 +818,8 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
     if st["ext_hit"]:
         # fold the externally-computed mesh hit (binned intersector) into
         # the winner carry: t/outward-normal/uv/material arrive as value
-        # planes; front = d . outward < 0 recomputed here (one dot beats
-        # shipping a plane). KIND_EXT keeps the sphere normal-resolve off
-        # these lanes.
+        # planes (front is the shared post-loop dot). KIND_EXT keeps the
+        # sphere normal-resolve off these lanes.
         et, enx, eny, enz = ext[0], ext[1], ext[2], ext[3]
         k = 4
         if st["has_image"]:
@@ -826,16 +827,14 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
             k = 6
         emat = ext[k:]
         n_slots = len(_carry_slots(st))
-        (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+        (t_best, n_hx, n_hy, n_hz, *rest) = carry
         slots = list(rest[:n_slots])
         mat = rest[n_slots:]
         okx = et < t_best
-        e_front = _dot3(dx, dy, dz, enx, eny, enz) < 0.0
         t_best = jnp.where(okx, et, t_best)
         n_hx = jnp.where(okx, enx, n_hx)
         n_hy = jnp.where(okx, eny, n_hy)
         n_hz = jnp.where(okx, enz, n_hz)
-        front_f = jnp.where(okx, jnp.where(e_front, 1.0, 0.0), front_f)
         for si, name in enumerate(_carry_slots(st)):
             if name == "wkind":
                 slots[si] = jnp.where(okx, KIND_EXT, slots[si])
@@ -844,18 +843,17 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
             elif name == "auxB":
                 slots[si] = jnp.where(okx, ev, slots[si])
         mat = [jnp.where(okx, ev_, mv) for ev_, mv in zip(emat, mat)]
-        carry = (t_best, n_hx, n_hy, n_hz, front_f, *slots, *mat)
+        carry = (t_best, n_hx, n_hy, n_hz, *slots, *mat)
     if st["n_media"]:
         carry = _media_update(st, med_ref, st["n_media"], rays, u, carry)
 
     n_slots = len(_carry_slots(st))
-    (t_best, n_hx, n_hy, n_hz, front_f, *rest) = carry
+    (t_best, n_hx, n_hy, n_hz, *rest) = carry
     aux = dict(zip(_carry_slots(st), rest[:n_slots]))
     mat = dict(zip(_mat_layout(st), rest[n_slots:]))
     m_kind = mat["kind"]
     m_texk = mat.get("texk")
 
-    front = front_f > 0.5
     hit = jnp.isfinite(t_best)
     t_safe = jnp.where(hit, t_best, 1.0)
     hx = ox + t_safe * dx
@@ -873,6 +871,13 @@ def _bounce_core(st: dict, prim_ref, light_ref, med_ref, blk_ref, bg,
         n_hz = jnp.where(sph_ok, (t_safe * dz - n_hz) * inv_r, n_hz)
     if st["has_image"]:
         outx, outy, outz = n_hx, n_hy, n_hz   # pre-flip outward copies
+    # front face from ONE dot against the winner's outward normal
+    # (hittable.go:27-34) — the per-candidate sign tests and the carried
+    # flag plane are gone (round 5); media force frontFace = true
+    # (medium.go:55)
+    front = _dot3(dx, dy, dz, n_hx, n_hy, n_hz) < 0.0
+    if st["n_media"]:
+        front = front | (aux["wkind"] == KIND_MEDIUM)
     # face-forward flip, once (hittable.go:27-34)
     n_hx = jnp.where(front, n_hx, -n_hx)
     n_hy = jnp.where(front, n_hy, -n_hy)
