@@ -336,8 +336,8 @@ def _window_impl(scene: T.Scene, arrays: camera_mod.CameraArrays,
             _, hr, hg, hb = jax.lax.sort(
                 (keys, lvl(Hr), lvl(Hg), lvl(Hb)),
                 dimension=-1, num_keys=1, is_stable=True)
-        rows = jnp.stack([hr, hg, hb], axis=-1)      # (refill, N, 3)
         NIs_s = NIs.reshape(outer * cadence)[:refill]
+        rows = jnp.stack([hr, hg, hb], axis=-1)      # (refill, N, 3)
 
         def write_row_ik(acc_c, xs):
             row, ni_s = xs
