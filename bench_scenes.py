@@ -8,6 +8,7 @@ modest spp still measures the steady state; scenes whose windows are
 compile-dominated report the post-warmup window rate)."""
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -40,7 +41,15 @@ def main(argv=None):
         if args.spp_scale != 1.0:
             cam.samples_per_pixel = max(1, int(cam.samples_per_pixel
                                                * args.spp_scale))
-        backend = "regen+fused" if pb.supported(scene) else "regen+xla"
+        if pb.supported(scene):
+            backend = "regen+fused"
+        elif (pb.supported_ext(scene)
+              and os.environ.get("GRT_MESH_EXT", "1") == "1"):
+            # mesh scenes: binned closest hit XLA-side, shading in the
+            # fused kernel via the external-hit fold (round 5)
+            backend = "regen+ext"
+        else:
+            backend = "regen+xla"
         t0 = time.time()
         try:
             import numpy as np

@@ -636,3 +636,28 @@ def test_positional_inkernel_checkpoint_roundtrip(tmp_path):
                                      **kw)
     np.testing.assert_array_equal(img_b, img_ref)
     assert st_b["segments"] == 0
+
+
+def test_sharded_regen_mesh_ext_matches_single_device():
+    """Mesh scenes under shard_map with the external-hit kernel path
+    (use_ext): the sharded render must match the single-device render of
+    the same scene statistically (same engine on every shard, disjoint
+    item ranges)."""
+    from go_raytracer_tpu.parallel import mesh as pmesh
+    from go_raytracer_tpu.scenes import registry
+
+    scene, cam = registry.model_example()
+    cam.width = 32
+    cam.samples_per_pixel = 9
+    cam.max_depth = 4
+    key = jax.random.key(3)
+    img1, st1 = regen.render_regen(scene, cam, key, n_lanes=4096)
+    m = pmesh.make_mesh(8, axes=("data",))
+    imgN, stN = regen.render_regen_sharded(scene, cam, m, key,
+                                           n_lanes=512)
+    a, b = np.asarray(img1), np.asarray(imgN)
+    assert np.isfinite(b).all()
+    # same estimator, different RNG streams: agree in the mean
+    assert abs(a.mean() - b.mean()) < 0.1 * max(a.mean(), 1e-3)
+    assert stN["devices"] == 8
+    assert stN["segments"] > 0
