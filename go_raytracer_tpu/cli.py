@@ -6,6 +6,11 @@ logged for compatibility. Additional flags expose TPU-era controls:
 --mode scan|while, --batch ray-batch size, --seed, --profile (jax.profiler
 trace directory, standing in for the reference's -cpuprofile pprof hook,
 main.go:425-432).
+
+Deliberate divergence: an unknown/omitted -S errors with exit 2 and the
+valid scene list. The reference routes it to `defaultScene` — an EMPTY
+stub that never calls Render (main.go:411-413, 473-474) — so it silently
+writes a zero-byte image file; reproducing that would hide typos.
 """
 
 from __future__ import annotations
