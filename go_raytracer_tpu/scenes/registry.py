@@ -140,7 +140,7 @@ def book3():
 
     cam = Camera(aspect_ratio=1.0, width=600, samples_per_pixel=10,
                  max_depth=50, vertical_fov=40, background=(0, 0, 0),
-                 regen_cadence=4, regen_len=5.54)
+                 regen_cadence=8, regen_len=5.54)
     cam.position((278, 278, -800), (278, 278, 0), (0, 1, 0))
     return b.build(), cam
 
