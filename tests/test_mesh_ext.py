@@ -78,3 +78,61 @@ def test_render_regen_ext_statistics(mesh_scene, monkeypatch):
     assert abs(ia.mean() - ib.mean()) < 0.06
     # segment counts within the acne-path bound
     assert abs(sa["segments"] - sb["segments"]) / sa["segments"] < 0.2
+
+
+def test_ext_image_textured_mesh_single_bounce():
+    """The ext uv planes: an image-textured triangle mesh routes its
+    interpolated uv through the aux slots and the kernel's image-patch
+    flags; single-bounce output matches the XLA wavefront."""
+    from go_raytracer_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder(background=(0.1, 0.1, 0.1))
+    img = (np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32)
+           .reshape(8, 8, 3))
+    mat = b.lambertian(tex=b.image_texture(img))
+    rng = np.random.default_rng(5)
+    tris, uvs = [], []
+    for _ in range(64):
+        v0 = rng.uniform(-3, 3, 3)
+        tris.append((v0, v0 + rng.uniform(0.2, 1.5, 3),
+                     v0 + rng.uniform(0.2, 1.5, 3)))
+        uvs.append(((0, 0), (1, 0), (0, 1)))
+    b.add_mesh(np.asarray(tris), np.full(64, mat, np.int32),
+               uvs=np.asarray(uvs), has_uv=np.ones(64, bool))
+    lq = b.quad((-1, 6, -1), (2, 0, 0), (0, 0, 2), b.diffuse_light((4, 4, 4)))
+    b.add_light(lq)
+    # a ground sphere so the scene has a non-tri section too
+    b.sphere((0, -1003.6, 0), 1000.0, b.lambertian((0.4, 0.4, 0.4)))
+    # force the BVH below the default 2048-tri threshold: the ext path
+    # requires has_tri_bvh (regen gates use_ext on it)
+    scene = b.build(bvh_threshold=1)
+    assert scene.has_image and scene.has_tri_bvh and pb.supported_ext(scene)
+
+    rs = np.random.default_rng(6)
+    n = 4096
+    o = jnp.asarray(rs.uniform(-5, 5, (n, 3)), jnp.float32)
+    d = jnp.asarray(rs.normal(size=(n, 3)), jnp.float32)
+    tm = jnp.zeros((n,), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    u = jnp.asarray(rs.random((n, 9)), jnp.float32)
+    E0, W0, cf0, no0, nd0, na0 = wavefront._bounce(scene, o, d, tm, alive, u)
+
+    tables = pb.pack_scene(scene)
+    statics = pb.scene_statics(scene, ext=True)
+    statics["cull"] = False
+    t_cap = ix.sphere_ts(scene.spheres, o, d, tm, 1e-3, jnp.inf).min(axis=1)
+    t_cap = jnp.minimum(
+        t_cap, ix.quad_ts(scene.quads, o, d, 1e-3, jnp.inf).min(axis=1))
+    ext = pb.mesh_ext_planes(scene, statics, o, d, t_cap, alive,
+                             interpret=True)
+    E1, W1, cf1, no1, nd1, na1, img_out = pb.bounce(
+        tables, statics, o, d, tm, alive, u, scene.background,
+        interpret=True, ext=ext)
+    W1 = pb.patch_image_weight(scene, W1, img_out)
+    na0n, na1n = np.asarray(na0), np.asarray(na1)
+    assert (na0n == na1n).mean() > 0.995
+    agree = na0n == na1n
+    W0n, W1n = np.asarray(W0)[agree], np.asarray(W1)[agree]
+    # image-texture albedo rides the ext uv -> texel patch; near-total
+    # agreement pins the uv plumbing
+    assert np.isclose(W0n, W1n, atol=2e-3).mean() > 0.995
