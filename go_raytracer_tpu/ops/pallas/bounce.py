@@ -1320,6 +1320,11 @@ def mesh_ext_planes(scene: T.Scene, statics, o, d, t_cap, alive,
     pass prunes the traversal (bvh.go:69-82's shrinking rayT.Max)."""
     from go_raytracer_tpu.ops import trace as trace_mod
 
+    # both routes walk the BVH; a sub-threshold mesh (has_tri_bvh False,
+    # dummy 1-node tree) would silently return all-miss planes — the
+    # footgun a round-5 test hit. regen gates use_ext on has_tri_bvh.
+    assert scene.has_tri_bvh, "mesh_ext_planes requires a built tri BVH"
+
     if jax.default_backend() == "tpu" and not interpret:
         t_t, i_t = trace_mod.pallas_bvh_closest(scene, o, d, t_cap=t_cap,
                                                 alive=alive)
